@@ -34,16 +34,21 @@ class PoseidonTree:
     def num_leaves(self) -> int:
         return self.layers[0][0].shape[1]
 
+    def host_layers(self):
+        """Device->host copies of all layers as uint64 (cached: path queries
+        would otherwise re-transfer whole layers per call)."""
+        if not hasattr(self, "_host_layers"):
+            self._host_layers = [
+                gf64.to_u64((np.asarray(lo), np.asarray(hi))) for lo, hi in self.layers
+            ]
+        return self._host_layers
+
     def path(self, index: int):
-        """Sibling digests (host numpy, each (4,)) leaf->cap + cap index."""
+        """Sibling digests (host ints, each len-4) leaf->cap + cap index."""
         sibs = []
         idx = index
-        for lo, hi in self.layers[:-1]:
-            lo_np, hi_np = np.asarray(lo), np.asarray(hi)
-            if lo_np.shape[1] == self.layers[-1][0].shape[1]:
-                break
-            sib = gf64.to_u64((lo_np[:, idx ^ 1], hi_np[:, idx ^ 1]))
-            sibs.append([int(x) for x in sib])
+        for layer in self.host_layers()[:-1]:
+            sibs.append([int(x) for x in layer[:, idx ^ 1]])
             idx >>= 1
         return sibs, idx
 
