@@ -1,0 +1,203 @@
+"""GF(2^255 - 19) arithmetic on TPU for Ed25519 batch verification
+(component C6, SURVEY.md §2.2; config 3 at /root/repo/BASELINE.json:9).
+
+Representation: a field element batch is a single uint32 array of shape
+``(16, N)`` — sixteen 16-bit limbs (little-endian) per lane, value < 2^256.
+Values are *semi-reduced* (< 2^256, possibly >= p) through arithmetic;
+``canonicalize`` produces the unique representative < p for encoding and
+equality.
+
+Multiplication: one (16,16,N) tensor product of exact 16x16->32 partials,
+anti-diagonal accumulation into 16-bit columns (max column sum < 2^21), and a
+fold of the 512-bit product with 2^256 ≡ 38 (mod p).
+
+Trace-size discipline: carry propagation runs under lax.scan over the limb
+axis, so one field mul traces to ~10^2 HLO ops instead of ~10^3 — the
+Pippenger MSM inlines hundreds of muls, and XLA compile time scales with
+trace size (a naive unrolled version took minutes to compile).
+
+Golden oracle: python bigints (tests) + blobstreamx_tpu.golden.ed25519.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Q = (1 << 255) - 19
+MASK16 = np.uint32(0xFFFF)
+NLIMB = 16
+
+_Q_LIMBS = np.array([(Q >> (16 * i)) & 0xFFFF for i in range(NLIMB)], dtype=np.uint32)
+
+
+# ----------------------------------------------------------------------------
+# encode / decode (host)
+# ----------------------------------------------------------------------------
+
+
+def from_int(values) -> jnp.ndarray:
+    if isinstance(values, int):
+        values = [values]
+    n = len(values)
+    out = np.zeros((NLIMB, n), dtype=np.uint32)
+    for j, v in enumerate(values):
+        for i in range(NLIMB):
+            out[i, j] = (v >> (16 * i)) & 0xFFFF
+    return jnp.asarray(out)
+
+
+def to_int(x) -> list[int]:
+    arr = np.asarray(x)
+    out = []
+    for j in range(arr.shape[1]):
+        v = 0
+        for i in range(NLIMB):
+            v |= int(arr[i, j]) << (16 * i)
+        out.append(v)
+    return out
+
+
+def zeros(n: int) -> jnp.ndarray:
+    return jnp.zeros((NLIMB, n), jnp.uint32)
+
+
+def full(n: int, value: int) -> jnp.ndarray:
+    value %= 1 << 256
+    col = np.array([(value >> (16 * i)) & 0xFFFF for i in range(NLIMB)], dtype=np.uint32)
+    return jnp.broadcast_to(jnp.asarray(col)[:, None], (NLIMB, n))
+
+
+# ----------------------------------------------------------------------------
+# scan-based carry machinery (small traces)
+# ----------------------------------------------------------------------------
+
+
+def _propagate_scan(cols):
+    """cols: (K, N) u32 columns (< 2^32) -> (words (K, N) < 2^16, carry (N,)).
+
+    Sequential carry chain as lax.scan over the limb axis (runtime K steps,
+    trace O(1))."""
+
+    def step(carry, col):
+        tot = col + carry
+        return tot >> 16, tot & MASK16
+
+    carry, words = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+    return words, carry
+
+
+def _fold_overflow(words, over):
+    """(words (16,N) < 2^16) + over*2^256 mod p, semi-reduced < 2^256.
+
+    over may be up to ~2^27; 38*over < 2^33 lands in columns 0 and 1. The
+    carries of the fold itself are re-folded twice: after the first re-fold
+    the value is < 2^256 + 38, and when that carries again the残 value is
+    < 38, so the final add cannot carry — all limbs end strictly < 2^16."""
+    add = over * jnp.uint32(38)
+    cols = words.at[0].add(add & MASK16).at[1].add(add >> 16)
+    words2, c1 = _propagate_scan(cols)
+    words3, c2 = _propagate_scan(words2.at[0].add(c1 * jnp.uint32(38)))
+    return words3.at[0].add(c2 * jnp.uint32(38))
+
+
+# ----------------------------------------------------------------------------
+# field ops
+# ----------------------------------------------------------------------------
+
+
+def add(a, b):
+    words, over = _propagate_scan(a + b)
+    return _fold_overflow(words, over)
+
+
+_FOURP_LO = np.array(
+    [((((1 << 257) - 76) - (1 << 256)) >> (16 * i)) & 0xFFFF for i in range(NLIMB)],
+    dtype=np.uint32,
+)
+
+
+def sub(a, b):
+    """a - b via a + (4p - 2^256) + (2^256 - b), all columns nonnegative."""
+    cols = a + jnp.asarray(_FOURP_LO)[:, None] + (MASK16 - b)
+    cols = cols.at[0].add(1)
+    words, over = _propagate_scan(cols)
+    return _fold_overflow(words, over)
+
+
+def neg(a):
+    return sub(jnp.zeros_like(a), a)
+
+
+def mul(a, b):
+    # exact partial products: (16, 16, N); p[i, j] = a[i] * b[j]
+    p = a[:, None, :] * b[None, :, :]
+    plo = p & MASK16
+    phi = p >> 16
+    n = a.shape[1]
+    cols = jnp.zeros((2 * NLIMB + 1, n), jnp.uint32)
+    for i in range(NLIMB):
+        cols = cols.at[i : i + NLIMB].add(plo[i])
+        cols = cols.at[i + 1 : i + 1 + NLIMB].add(phi[i])
+    words, _carry = _propagate_scan(cols)  # carry provably 0 (< 2^512)
+    # fold hi (words[16..32]) * 38 into lo; words[32] == 0 but kept for shape
+    hi = words[NLIMB : 2 * NLIMB]
+    ph = hi * jnp.uint32(38)
+    cols2 = words[:NLIMB]
+    cols2 = cols2 + (ph & MASK16)
+    cols2 = cols2.at[1:].add((ph >> 16)[:-1])
+    over_hi = (ph[-1] >> 16)  # weight 2^256
+    words2, carry = _propagate_scan(cols2)
+    return _fold_overflow(words2, carry + over_hi)
+
+
+def mul_small(a, k: int):
+    assert 0 < k < (1 << 15)
+    words, over = _propagate_scan(a * jnp.uint32(k))
+    return _fold_overflow(words, over)
+
+
+def canonicalize(x):
+    """Unique representative < p (subtract p up to two times, branchless)."""
+    q = jnp.asarray(_Q_LIMBS)[:, None]
+    out = x
+    for _ in range(2):
+        def step(borrow, cols):
+            xi, qi = cols
+            d = xi - qi - borrow
+            return (d >> 31) & 1, d & MASK16
+
+        borrow, diff = jax.lax.scan(step, jnp.zeros_like(out[0]), (out, jnp.broadcast_to(q, out.shape)))
+        ge = borrow == 0
+        out = jnp.where(ge[None, :], diff, out)
+    return out
+
+
+def eq(a, b):
+    return jnp.all(canonicalize(a) == canonicalize(b), axis=0)
+
+
+def is_zero(a):
+    return jnp.all(canonicalize(a) == 0, axis=0)
+
+
+def select(mask, a, b):
+    return jnp.where(mask[None, :], a, b)
+
+
+def pow_static(a, e: int):
+    bits = jnp.array([(e >> i) & 1 for i in range(max(e.bit_length(), 1))], jnp.bool_)
+
+    def body(carry, bit):
+        result, base = carry
+        result = jnp.where(bit, mul(result, base), result)
+        return (result, mul(base, base)), None
+
+    init = (full(a.shape[1], 1), a)
+    (result, _), _ = jax.lax.scan(body, init, bits)
+    return result
+
+
+def inv(a):
+    return pow_static(a, Q - 2)

@@ -1,0 +1,197 @@
+"""Pippenger bucketized multi-scalar multiplication on TPU (component C6;
+config 3 at /root/repo/BASELINE.json:9).
+
+TPU-native formulation (SURVEY.md §7.2 item 2): no data-dependent branching —
+bucket accumulation is a lax.scan over point *groups*, with K parallel streams
+each owning a private bucket copy so every scan step performs one fully
+vectorized complete-Edwards addition across (windows x streams) lanes:
+
+  - scalars -> (W, N) c-bit digit matrix (host, tiny)
+  - scan step i: for every window w and stream k, add point i_k into bucket
+    digits[w, i_k] of stream k's copy — a gather + batched point add + scatter
+    over W*K lanes
+  - merge the K stream copies (log K batched adds over W*2^c lanes)
+  - per-window weighted bucket reduction sum_b b*S_b via a reversed
+    Hillis-Steele suffix scan (c batched adds) + log-depth total
+  - window combine by Horner under lax.scan (c doublings + 1 add per window)
+
+Buckets are identity-initialized; digit-0 entries land in bucket 0, which the
+weighted reduction excludes, so padding points with digit 0 is free.
+
+Trace-size discipline: every log-depth reduction (stream merge, suffix scan,
+bucket-total tree) runs as a lax.scan over its step schedule with masked
+dynamic gathers, so the whole MSM traces ~6 point additions instead of ~30 —
+a complete-Edwards add inlines ~9 field muls and XLA compile time scales with
+trace size (an unrolled version took ~3 min to compile on CPU).
+
+The multi-chip version partitions points per chip and merges bucket copies
+across chips the same way it merges streams (blobstreamx_tpu.parallel.msm).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blobstreamx_tpu.ops import curve25519 as curve
+
+WINDOW_BITS = 8
+NUM_WINDOWS = 32  # ceil(256 / 8)
+NUM_BUCKETS = 1 << WINDOW_BITS
+
+
+def scalars_to_digits(scalars: list[int], c: int = WINDOW_BITS) -> np.ndarray:
+    """(W, N) uint32 digit matrix, digit[w, i] = (s_i >> (c*w)) & (2^c - 1)."""
+    w = -(-256 // c)
+    out = np.zeros((w, len(scalars)), dtype=np.uint32)
+    for i, s in enumerate(scalars):
+        assert 0 <= s < (1 << 256)
+        for j in range(w):
+            out[j, i] = (s >> (c * j)) & ((1 << c) - 1)
+    return out
+
+
+def _gather_point(p: curve.Point, idx) -> curve.Point:
+    return tuple(jnp.take(c, idx, axis=1) for c in p)
+
+
+def _scatter_set(dst: curve.Point, idx, src: curve.Point) -> curve.Point:
+    return tuple(d.at[:, idx].set(s) for d, s in zip(dst, src))
+
+
+def pad_to_streams(points: curve.Point, digits, streams: int = 16):
+    """Pad (points, digits) with identity/digit-0 lanes to a multiple of the
+    stream count. Call BEFORE the jitted MSM so n=1..streams share one
+    compiled executable (digit-0 padding is free: bucket 0 is never reduced)."""
+    w, n = np.asarray(digits).shape
+    pad = (-n) % streams
+    if pad:
+        idn = curve.identity(pad)
+        points = tuple(jnp.concatenate([a, b], axis=1) for a, b in zip(points, idn))
+        digits = np.concatenate([np.asarray(digits), np.zeros((w, pad), np.uint32)], axis=1)
+    return points, jnp.asarray(digits)
+
+
+def _fold_groups(p: curve.Point, group: int) -> curve.Point:
+    """Sum each contiguous `group`-lane block into its lane 0.
+
+    p: (16, M) with M a multiple of `group` (a power of two). Lane layout
+    g*group + j. After the scan, lane j=0 of each block holds the block sum;
+    other lanes are stale. One point add in the traced body.
+    """
+    m = p[0].shape[1]
+    assert group & (group - 1) == 0 and m % group == 0
+    lane = jnp.arange(m)
+    j = lane % group
+    halves = jnp.asarray([group >> (i + 1) for i in range(group.bit_length() - 1)], jnp.int32)
+
+    def step(s, h):
+        src = _gather_point(s, jnp.minimum(lane + h, m - 1))
+        summed = curve.add(s, src)
+        return curve.select(j < h, summed, s), None
+
+    out, _ = jax.lax.scan(step, p, halves)
+    return out
+
+
+def accumulate_buckets(points: curve.Point, digits, streams: int = 16) -> curve.Point:
+    """Bucket accumulation. points: (16, N) coords; digits: (W, N) uint32,
+    N a multiple of `streams` (see pad_to_streams).
+
+    Returns the merged bucket points as a (16, W*2^c)-lane Point:
+    lane w*2^c + b  =  sum of points whose window-w digit is b.
+    """
+    w, n = digits.shape
+    k = streams  # power of two required by the pairwise merge
+    assert k & (k - 1) == 0 and n % k == 0, (n, k)
+    digits = jnp.asarray(digits)
+    steps = n // k
+
+    # per-stream bucket copies: lane layout (w * NUM_BUCKETS + b) * k + stream
+    buckets = curve.identity(w * NUM_BUCKETS * k)
+
+    # reorder so step i handles points [i, i+steps, i+2*steps, ...] per stream
+    order = jnp.arange(n).reshape(k, steps).T.reshape(-1)  # step-major
+    pts = _gather_point(points, order)
+    digs = jnp.take(digits, order, axis=1)  # (W, n) step-major
+
+    pts_steps = tuple(c.reshape(16, steps, k) for c in pts)
+    digs_steps = digs.reshape(w, steps, k)
+
+    def step(bkts, xs):
+        pt_k = xs[0]  # tuple of (16, k)
+        dig_k = xs[1]  # (W, k)
+        # lanes: for each (window, stream): target bucket index
+        lane = (
+            (jnp.arange(w, dtype=jnp.uint32)[:, None] * NUM_BUCKETS + dig_k) * k
+            + jnp.arange(k, dtype=jnp.uint32)[None, :]
+        ).reshape(-1)  # (W*K,)
+        cur = _gather_point(bkts, lane)
+        # broadcast each stream's point across its windows
+        pt_wk = tuple(jnp.tile(c, (1, w)) for c in pt_k)
+        new = curve.add(cur, pt_wk)
+        return _scatter_set(bkts, lane, new), None
+
+    xs = (tuple(jnp.moveaxis(c, 1, 0) for c in pts_steps), jnp.moveaxis(digs_steps, 1, 0))
+    buckets, _ = jax.lax.scan(step, buckets, xs)
+
+    # merge the K stream copies: blocks of k adjacent lanes fold into lane 0
+    folded = _fold_groups(buckets, k)
+    return tuple(c.reshape(16, -1, k)[:, :, 0] for c in folded)  # (16, W*B)
+
+
+def reduce_buckets(buckets: curve.Point, w: int = NUM_WINDOWS) -> curve.Point:
+    """Per-window weighted sum sum_b b * S_b -> (16, W) window results.
+
+    Suffix sums U_j = sum_{b>=j} S_b via reversed Hillis-Steele (c scan steps
+    with masked dynamic-shift gathers), then sum_{j>=1} U_j via _fold_groups.
+    """
+    b = NUM_BUCKETS
+    m = w * b
+    lane = jnp.arange(m)
+    lane_b = lane % b
+    idn = curve.identity(m)
+    shifts = jnp.asarray([1 << i for i in range(b.bit_length() - 1)], jnp.int32)
+
+    def step(suf, shift):
+        src = _gather_point(suf, jnp.minimum(lane + shift, m - 1))
+        src = curve.select(lane_b + shift < b, src, idn)
+        return curve.add(suf, src), None
+
+    suf, _ = jax.lax.scan(step, buckets, shifts)
+    # suf lane (w, j) = U_j; want sum_{j>=1} U_j: zero out U_0, fold each window
+    suf = curve.select(lane_b != 0, suf, idn)
+    folded = _fold_groups(suf, b)
+    return tuple(c.reshape(16, w, b)[:, :, 0] for c in folded)  # (16, W)
+
+
+def combine_windows(windows: curve.Point, c: int = WINDOW_BITS) -> curve.Point:
+    """Horner: result = sum_w 2^(c*w) W_w, scanning from the top window."""
+
+    def step(acc, win):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
+        return curve.add(acc, win), None
+
+    # scan over windows reversed; each xs element is a (16, 1) point
+    xs = tuple(jnp.moveaxis(x[:, ::-1][:, :, None], 1, 0) for x in windows)  # (w,16,1)
+    acc, _ = jax.lax.scan(step, curve.identity(1), xs)
+    return acc
+
+
+def msm(points: curve.Point, digits) -> curve.Point:
+    """Full Pippenger MSM: returns the (16, 1)-lane result point."""
+    w = digits.shape[0]
+    buckets = accumulate_buckets(points, digits)
+    windows = reduce_buckets(buckets, w)
+    return combine_windows(windows)
+
+
+def msm_jit(points: curve.Point, digits) -> curve.Point:
+    points, digits = pad_to_streams(points, digits)
+    return _msm_jitted(points, digits)
+
+
+@jax.jit
+def _msm_jitted(points, digits):
+    return msm(points, digits)

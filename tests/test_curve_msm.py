@@ -1,0 +1,138 @@
+"""Device curve25519 ops, Pippenger MSM, and Ed25519 batch verify vs golden."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from blobstreamx_tpu.fields import gf25519 as f
+from blobstreamx_tpu.golden import ed25519 as gold
+from blobstreamx_tpu.ops import curve25519 as curve, ed25519 as dev_ed, msm as msm_ops
+
+Q = gold.Q
+L = gold.L
+
+
+def rand_points(n, seed=0):
+    """n random curve points (as golden tuples + device batch)."""
+    rng = random.Random(seed)
+    gold_pts = [gold.point_mul(rng.randrange(1, L), gold.BASE) for _ in range(n)]
+    return gold_pts, golden_to_device(gold_pts)
+
+
+def golden_to_device(gold_pts):
+    xs = f.from_int([p[0] for p in gold_pts])
+    ys = f.from_int([p[1] for p in gold_pts])
+    zs = f.from_int([p[2] for p in gold_pts])
+    ts = f.from_int([p[3] for p in gold_pts])
+    return (xs, ys, zs, ts)
+
+
+def affine(gold_pt):
+    zinv = pow(gold_pt[2], Q - 2, Q)
+    return (gold_pt[0] * zinv % Q, gold_pt[1] * zinv % Q)
+
+
+class TestCurveOps:
+    def test_add_matches_golden(self):
+        gp, dp = rand_points(8, seed=1)
+        gq, dq = rand_points(8, seed=2)
+        out = jax.jit(curve.add)(dp, dq)
+        got = curve.to_affine_ints(out)
+        for i in range(8):
+            want = affine(gold.point_add(gp[i], gq[i]))
+            assert got[i] == want
+
+    def test_double_and_identity(self):
+        gp, dp = rand_points(4, seed=3)
+        got = curve.to_affine_ints(jax.jit(curve.double)(dp))
+        for i in range(4):
+            assert got[i] == affine(gold.point_add(gp[i], gp[i]))
+        # P + identity == P; identity is on-curve
+        idn = curve.identity(4)
+        got2 = curve.to_affine_ints(curve.add(dp, idn))
+        for i in range(4):
+            assert got2[i] == affine(gp[i])
+        assert bool(np.asarray(curve.on_curve(dp)).all())
+        assert bool(np.asarray(curve.is_identity(idn)).all())
+
+    def test_neg(self):
+        gp, dp = rand_points(4, seed=4)
+        s = curve.add(dp, curve.neg(dp))
+        assert bool(np.asarray(curve.is_identity(s)).all())
+
+    def test_decompress_matches_golden(self):
+        rng = random.Random(5)
+        raw = []
+        for i in range(16):
+            p = gold.point_mul(rng.randrange(1, L), gold.BASE)
+            raw.append(gold.point_compress(p))
+        pts, valid = curve.decompress(curve.encode_points_host(raw))
+        assert bool(np.asarray(valid).all())
+        got = curve.to_affine_ints(pts)
+        for i in range(16):
+            want = affine(gold.point_decompress(raw[i]))
+            assert got[i] == want
+
+    def test_decompress_rejects_invalid(self):
+        bad = [b"\xff" * 32, (2).to_bytes(32, "little")]  # y=huge, y=2 off-curve
+        pts, valid = curve.decompress(curve.encode_points_host(bad))
+        assert not bool(np.asarray(valid).any())
+
+
+class TestMsm:
+    @pytest.mark.parametrize("n", [1, 3, 16, 40])
+    def test_matches_golden(self, n):
+        rng = random.Random(n)
+        gp, dp = rand_points(n, seed=10 + n)
+        scalars = [rng.randrange(0, L) for _ in range(n)]
+        digits = msm_ops.scalars_to_digits(scalars)
+        result = msm_ops.msm_jit(dp, digits)
+        want = gold.IDENTITY
+        for s, p in zip(scalars, gp):
+            want = gold.point_add(want, gold.point_mul(s, p))
+        got = curve.to_affine_ints(result)[0]
+        assert got == affine(want)
+
+    def test_zero_scalars(self):
+        _, dp = rand_points(4, seed=30)
+        digits = msm_ops.scalars_to_digits([0, 0, 0, 0])
+        result = msm_ops.msm_jit(dp, digits)
+        assert bool(np.asarray(curve.is_identity(result))[0])
+
+
+class TestBatchVerify:
+    def _items(self, n, seed=0):
+        items = []
+        for i in range(n):
+            secret = bytes([seed]) + bytes([i]) * 31
+            pk = gold.public_key(secret)
+            msg = f"celestia header {i}".encode()
+            items.append((pk, msg, gold.sign(secret, msg)))
+        return items
+
+    def test_valid_batch(self):
+        items = self._items(8)
+        ok, info = dev_ed.batch_verify(items)
+        assert ok, info
+
+    def test_tampered_message_rejected(self):
+        items = self._items(8, seed=1)
+        pk, msg, sig = items[3]
+        items[3] = (pk, msg + b"!", sig)
+        ok, _ = dev_ed.batch_verify(items)
+        assert not ok
+
+    def test_wrong_key_rejected(self):
+        items = self._items(4, seed=2)
+        items[0] = (items[1][0], items[0][1], items[0][2])
+        ok, _ = dev_ed.batch_verify(items)
+        assert not ok
+
+    def test_matches_golden_equation(self):
+        items = self._items(6, seed=3)
+        zs = dev_ed.derive_z(items)
+        assert gold.batch_verify_equation(items, zs)
+        ok, _ = dev_ed.batch_verify(items, zs)
+        assert ok
