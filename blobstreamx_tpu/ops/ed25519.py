@@ -42,53 +42,60 @@ def derive_z(items: list[tuple[bytes, bytes, bytes]], bits: int = 128) -> list[i
     return zs
 
 
-def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
-    """items: [(pubkey32, message, signature64)]. Returns (ok, diagnostics).
+def prepare_batch(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
+    """Host scalar math + device decompression for the batch equation.
 
-    ok is False if any encoding is invalid, any s >= L, or the batch equation
-    fails. (A False batch can then be bisected with golden.ed25519.verify.)
+    Returns (points, digits, n_invalid) — the (2n+1)-point MSM inputs — or
+    None if any input is malformed or any s >= L. n_invalid counts lanes
+    whose point encoding failed to decompress.
     """
-    n = len(items)
-    assert n > 0
+    assert len(items) > 0
     if zs is None:
         zs = derive_z(items)
 
-    # host: scalars
-    s_ok = True
     z_r, z_a = [], []
     s_sum = 0
     enc_r, enc_a = [], []
     for (pk, msg, sig), z in zip(items, zs):
         if len(sig) != 64 or len(pk) != 32:
-            return False, {"reason": "malformed input"}
+            return None
         s = int.from_bytes(sig[32:], "little")
         if s >= L:
-            s_ok = False
+            return None
         h = int.from_bytes(gold.sha512(sig[:32] + pk + msg), "little") % L
         z_r.append(z % L)
         z_a.append(z * h % L)
         s_sum = (s_sum + z * s) % L
         enc_r.append(sig[:32])
         enc_a.append(pk)
-    if not s_ok:
-        return False, {"reason": "s >= L"}
 
     # device: decompress all R and A points
     encoded = curve.encode_points_host(enc_r + enc_a)
     pts, valid = curve.decompress(encoded)
-    valid_np = np.asarray(valid)
-    if not valid_np.all():
-        return False, {"reason": "invalid point encoding", "lanes": np.where(~valid_np)[0]}
+    n_invalid = int((~np.asarray(valid)).sum())
 
     # append B with scalar (-sum z_i s_i) mod L
-    b = curve.base_point(1)
-    points = tuple(np.concatenate([np.asarray(c), np.asarray(cb)], axis=1) for c, cb in zip(pts, b))
     import jax.numpy as jnp
 
-    points = tuple(jnp.asarray(c) for c in points)
+    b = curve.base_point(1)
+    points = tuple(jnp.concatenate([c, cb], axis=1) for c, cb in zip(pts, b))
     scalars = z_r + z_a + [(L - s_sum) % L]
     digits = msm_ops.scalars_to_digits(scalars)
+    return points, digits, n_invalid
 
+
+def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
+    """items: [(pubkey32, message, signature64)]. Returns (ok, diagnostics).
+
+    ok is False if any encoding is invalid, any s >= L, or the batch equation
+    fails. (A False batch can then be bisected with golden.ed25519.verify.)
+    """
+    prep = prepare_batch(items, zs)
+    if prep is None:
+        return False, {"reason": "malformed input or s >= L"}
+    points, digits, n_invalid = prep
+    if n_invalid:
+        return False, {"reason": "invalid point encoding"}
     result = msm_ops.msm_jit(points, digits)
     ok = bool(np.asarray(curve.is_identity(result))[0])
-    return ok, {"n": n, "msm_points": len(scalars)}
+    return ok, {"n": len(items), "msm_points": digits.shape[1]}

@@ -1,0 +1,117 @@
+"""Multi-chip Pippenger MSM and Ed25519 batch verification (component C6;
+config 3 at /root/repo/BASELINE.json:9; SURVEY.md §2.3 "EP" row: bucket
+ownership + collective reduction).
+
+Plan (one shard_map program over the 1-D mesh):
+
+  1. points/digits partitioned per chip (data parallel) — each chip runs the
+     single-chip stream-parallel bucket accumulation on its slice.
+  2. bucket copies are combined across chips by a recursive-doubling
+     all-reduce whose monoid is the complete-Edwards point addition: log2(D)
+     rounds of ppermute(XOR partner) + batched point add over ICI. (A psum
+     cannot reduce curve points — addition is the group law, not integer
+     add — so the reduction is built from ppermute, the TPU-native ring/
+     butterfly primitive.)
+  3. the per-window weighted bucket reduction (the suffix-scan heavy phase)
+     is sharded over the *window* axis: each chip reduces W/D windows.
+  4. window results are all_gather'd (tiny: W points) and the final Horner
+     combine runs replicated.
+
+Same code runs on the 8-device CPU simulation and a real slice.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from blobstreamx_tpu.ops import curve25519 as curve, msm as msm_ops
+from .mesh import AXIS
+
+
+def _allreduce_points(p: curve.Point, n_devices: int) -> curve.Point:
+    """Recursive-doubling all-reduce with the Edwards group law as monoid."""
+    step = 1
+    while step < n_devices:
+        perm = [(i, i ^ step) for i in range(n_devices)]
+        received = tuple(jax.lax.ppermute(c, AXIS, perm) for c in p)
+        p = curve.add(p, received)
+        step *= 2
+    return p
+
+
+def _local_msm(xlo, ylo, zlo, tlo, digits, *, n_devices: int, streams: int):
+    points = (xlo, ylo, zlo, tlo)
+    w = digits.shape[0]
+    # 1. local bucket accumulation over this chip's point slice
+    buckets = msm_ops.accumulate_buckets(points, digits, streams=streams)
+    # 2. cross-chip bucket combine (Edwards all-reduce over ICI)
+    buckets = _allreduce_points(buckets, n_devices)
+    # 3. window-sharded weighted reduction
+    b = msm_ops.NUM_BUCKETS
+    if w % n_devices == 0:
+        my = jax.lax.axis_index(AXIS)
+        w_local = w // n_devices
+        sliced = tuple(
+            jax.lax.dynamic_slice_in_dim(c, my * w_local * b, w_local * b, axis=1)
+            for c in buckets
+        )
+        windows = msm_ops.reduce_buckets(sliced, w_local)
+        windows = tuple(jax.lax.all_gather(c, AXIS, axis=1, tiled=True) for c in windows)
+    else:
+        windows = msm_ops.reduce_buckets(buckets, w)
+    # 4. replicated Horner combine
+    return msm_ops.combine_windows(windows)
+
+
+@lru_cache(maxsize=None)
+def _msm_fn(mesh, streams: int):
+    d = mesh.devices.size
+    pt_spec = P(None, AXIS)
+    fn = partial(_local_msm, n_devices=d, streams=streams)
+    return jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(pt_spec, pt_spec, pt_spec, pt_spec, P(None, AXIS)),
+            out_specs=(P(None, None),) * 4,
+            check_vma=False,
+        )
+    )
+
+
+def msm_sharded(points: curve.Point, digits, mesh, streams: int = 16) -> curve.Point:
+    """Multi-chip MSM. points: (16, N) coord tuple; digits: (W, N) uint32.
+
+    Pads N to a multiple of D*streams with identity/digit-0 lanes (free:
+    bucket 0 is never reduced), shards points per chip, returns the
+    replicated (16, 1) result point.
+    """
+    d = mesh.devices.size
+    points, digits = msm_ops.pad_to_streams(points, digits, streams=streams * d)
+    sharding = NamedSharding(mesh, P(None, AXIS))
+    points = jax.device_put(points, sharding)
+    digits = jax.device_put(digits, sharding)
+    return _msm_fn(mesh, streams)(*points, digits)
+
+
+def batch_verify_sharded(items, mesh, zs=None, streams: int = 16):
+    """Multi-chip Ed25519 batch verification: decompression data-parallel,
+    batch equation as one sharded (2n+1)-point MSM. Same protocol as
+    ops.ed25519.batch_verify."""
+    from blobstreamx_tpu.ops import ed25519 as dev_ed
+
+    prep = dev_ed.prepare_batch(items, zs)
+    if prep is None:
+        return False, {"reason": "malformed input or s >= L"}
+    points, digits, n_invalid = prep
+    if n_invalid:
+        return False, {"reason": "invalid point encoding"}
+    result = msm_sharded(points, digits, mesh, streams=streams)
+    ok = bool(np.asarray(curve.is_identity(result))[0])
+    return ok, {"n": len(items), "msm_points": digits.shape[1]}

@@ -1,0 +1,62 @@
+"""Multi-chip Pippenger MSM and Ed25519 batch verify on the 8-device CPU
+simulation (config 3 at /root/repo/BASELINE.json:9)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from blobstreamx_tpu.fields import gf25519 as f
+from blobstreamx_tpu.golden import ed25519 as gold
+from blobstreamx_tpu.ops import curve25519 as curve
+from blobstreamx_tpu.parallel import mesh as pmesh, msm as pmsm
+
+L = gold.L
+Q = gold.Q
+
+
+def affine(p):
+    zinv = pow(p[2], Q - 2, Q)
+    return (p[0] * zinv % Q, p[1] * zinv % Q)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return pmesh.make_mesh(8)
+
+
+class TestShardedMsm:
+    @pytest.mark.parametrize("n", [5, 64])
+    def test_matches_golden(self, mesh, n):
+        rng = random.Random(100 + n)
+        gp = [gold.point_mul(rng.randrange(1, L), gold.BASE) for _ in range(n)]
+        dp = tuple(f.from_int([p[i] for p in gp]) for i in range(4))
+        scalars = [rng.randrange(0, L) for _ in range(n)]
+        digits = pmsm.msm_ops.scalars_to_digits(scalars)
+        result = pmsm.msm_sharded(dp, digits, mesh, streams=2)
+        want = gold.IDENTITY
+        for s, p in zip(scalars, gp):
+            want = gold.point_add(want, gold.point_mul(s, p))
+        assert curve.to_affine_ints(result)[0] == affine(want)
+
+
+class TestShardedBatchVerify:
+    def _items(self, n, seed=0):
+        items = []
+        for i in range(n):
+            secret = bytes([seed]) + bytes([i]) * 31
+            pk = gold.public_key(secret)
+            msg = f"sharded header {i}".encode()
+            items.append((pk, msg, gold.sign(secret, msg)))
+        return items
+
+    def test_valid_batch(self, mesh):
+        ok, info = pmsm.batch_verify_sharded(self._items(12), mesh, streams=2)
+        assert ok, info
+
+    def test_tampered_rejected(self, mesh):
+        items = self._items(12, seed=9)
+        pk, msg, sig = items[7]
+        items[7] = (pk, msg + b"!", sig)
+        ok, _ = pmsm.batch_verify_sharded(items, mesh, streams=2)
+        assert not ok
