@@ -320,3 +320,43 @@ def ext_mul(a, b):
 
 def ext_square(a):
     return ext_mul(a, a)
+
+
+def ext_zeros(shape):
+    return zeros(shape), zeros(shape)
+
+
+def ext_full(shape, v: tuple[int, int]):
+    return full(shape, v[0]), full(shape, v[1])
+
+
+def ext_scale(base: Gl, k: tuple[int, int]):
+    """Multiply a base-field array by a static ext constant: (k0*b, k1*b)."""
+    shape = jnp.shape(base[0])
+    return gl_mul(base, full(shape, k[0])), gl_mul(base, full(shape, k[1]))
+
+
+def ext_scale_ext(a, k: tuple[int, int]):
+    """Multiply an ext array by a static ext constant."""
+    return ext_mul(a, ext_full(jnp.shape(a[0][0]), k))
+
+
+def ext_from_base(base: Gl):
+    return base, zeros(jnp.shape(base[0]))
+
+
+def ext_neg(a):
+    return gl_neg(a[0]), gl_neg(a[1])
+
+
+def ext_inv(a):
+    """Batched ext inverse: conj(a) / norm(a), norm = c0^2 - W*c1^2 (one
+    base-field Fermat inversion per lane, fully vectorized)."""
+    w = full(jnp.shape(a[0][0]), EXT_W)
+    norm = gl_sub(gl_square(a[0]), gl_mul(w, gl_square(a[1])))
+    ninv = gl_inv(norm)
+    return gl_mul(a[0], ninv), gl_mul(gl_neg(a[1]), ninv)
+
+
+def ext_select(mask, a, b):
+    return gl_select(mask, a[0], b[0]), gl_select(mask, a[1], b[1])

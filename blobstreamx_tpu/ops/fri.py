@@ -76,9 +76,12 @@ def _grind_batch(state12: list[int], pending: list[int], start: int, batch: int)
     nonces = np.arange(start, start + batch, dtype=np.uint64)
     lo[k, :] = (nonces & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi[k, :] = (nonces >> np.uint64(32)).astype(np.uint32)
-    out = pos.permute((jnp.asarray(lo), jnp.asarray(hi)))
+    out = _permute_jit((jnp.asarray(lo), jnp.asarray(hi)))
     # golden sample() pops output_buffer[-1] == state[RATE-1]
     return out[0][RATE - 1], out[1][RATE - 1]
+
+
+_permute_jit = jax.jit(pos.permute)
 
 
 def grind(challenger: Challenger, bits: int, batch: int = 1 << 14, max_batches: int = 1 << 12) -> int:

@@ -53,8 +53,8 @@ class PoseidonTree:
         return sibs, idx
 
 
-def build_tree(leaves: Gl, cap_height: int = 0, permute_fn=pos.permute) -> PoseidonTree:
-    """leaves: (L, N) field-element matrix, one leaf vector per column."""
+def tree_layers(leaves: Gl, cap_height: int = 0, permute_fn=pos.permute):
+    """All tree layers as a jit-friendly tuple (leaf digests ... cap)."""
     n = leaves[0].shape[1]
     assert n & (n - 1) == 0 and (1 << cap_height) <= n
     layer = pos.hash_columns(leaves, permute_fn)
@@ -65,7 +65,14 @@ def build_tree(leaves: Gl, cap_height: int = 0, permute_fn=pos.permute) -> Posei
             (lo[:, 0::2], hi[:, 0::2]), (lo[:, 1::2], hi[:, 1::2]), permute_fn
         )
         layers.append(layer)
-    return PoseidonTree(layers=layers, cap_height=cap_height)
+    return tuple(layers)
+
+
+def build_tree(leaves: Gl, cap_height: int = 0, permute_fn=pos.permute) -> PoseidonTree:
+    """leaves: (L, N) field-element matrix, one leaf vector per column."""
+    return PoseidonTree(
+        layers=list(tree_layers(leaves, cap_height, permute_fn)), cap_height=cap_height
+    )
 
 
 def cap_to_ints(tree: PoseidonTree) -> list[list[int]]:
