@@ -1,0 +1,220 @@
+"""The skip/step prover pipeline (component C10, SURVEY.md §2.2:
+"prove_skip() JAX pipeline spanning all kernels; skip-proof wall-clock is the
+north-star metric", /root/repo/BASELINE.json:2,11).
+
+Pipeline for one skip proof (phases mirror SURVEY.md §3.4's behavioral flow,
+re-architected: no recursion, no circuit DSL):
+
+  witness   host: pack the ChainFixture slice into device tensors      (C9)
+  consensus device: valset hashing, Ed25519 MSM batch, inclusion folds,
+            chain links, power sums, data commitment       (C4-C6, C14-C16)
+  trace     host: lay out the consensus-arithmetic execution trace
+  stark     device: DEEP-ALI prove over SkipAir                    (C8, C10)
+
+Trust model (stated precisely, as the docs promise): the DEEP-ALI STARK
+proves the *consensus arithmetic* — boolean signer masks, voting-power
+accumulators, their claimed totals — over a committed trace whose public
+inputs bind the trusted/target roots, heights, and the data commitment into
+the Fiat-Shamir transcript. The hash/signature facts (SHA-256 trees, Ed25519
+batch equation) are established by bit-exact deterministic device
+recomputation in the same pipeline (upstream delegated these to Curta
+auxiliary STARKs, SURVEY.md §2.2 C4/C6 [R]; prover.sha_air is this
+framework's first step on that path). verify_skip_proof() re-checks the
+STARK, the threshold inequalities over the public integers, and recomputes
+nothing heavier than transcripts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from blobstreamx_tpu.circuits.skip import SkipCheckResult, SkipPublicOutputs, verify_skip
+from blobstreamx_tpu.circuits.step import StepCheckResult, verify_step
+from blobstreamx_tpu.circuits.witness import SkipWitness
+from blobstreamx_tpu.golden import goldilocks as gold
+from blobstreamx_tpu.prover import stark
+from blobstreamx_tpu.prover.air import Air
+from blobstreamx_tpu.prover.config import StarkConfig
+from blobstreamx_tpu.utils.checkpoint import PhaseCheckpointer
+from blobstreamx_tpu.utils.metrics import MetricsWriter
+from blobstreamx_tpu.utils.timing import TimingTree
+
+P = gold.P
+
+
+class SkipAir(Air):
+    """Consensus arithmetic of the skip relation, one validator per row
+    (rows padded with power=0, bit=0 to a power of two).
+
+    Columns: 0 tp (target-set power), 1 tb (signed bit), 2 ta (signed acc),
+    3 tt (total acc), 4 rp (trusted power), 5 rb (trusted-signed bit),
+    6 ra (signed acc), 7 rt (total acc).
+
+    Publics: [0] signed_target, [1] total_target, [2] signed_trusted,
+    [3] total_trusted, then 8 u32 words each of trusted_root, target_root,
+    data_commitment, then trusted_height, target_height (30 total). Only
+    0-3 appear in constraints; the rest are transcript-bound (stark.prove
+    observes every public before sampling alpha).
+    """
+
+    n_cols = 8
+    max_degree = 2
+    N_PUBLICS = 30
+
+    def eval_constraints(self, local, nxt, publics, alg):
+        tp, tb, ta, tt, rp, rb, ra, rt = local
+        tp_n, tb_n, ta_n, tt_n, rp_n, rb_n, ra_n, rt_n = nxt
+        one = alg.const(1)
+        cs = []
+        for b in (tb, rb):  # booleanity
+            cs.append((alg.mul(b, alg.sub(b, one)), "all"))
+        # first-row accumulator initialisation
+        cs.append((alg.sub(ta, alg.mul(tb, tp)), "first"))
+        cs.append((alg.sub(tt, tp), "first"))
+        cs.append((alg.sub(ra, alg.mul(rb, rp)), "first"))
+        cs.append((alg.sub(rt, rp), "first"))
+        # transitions: acc' = acc + bit' * power'
+        cs.append((alg.sub(ta_n, alg.add(ta, alg.mul(tb_n, tp_n))), "transition"))
+        cs.append((alg.sub(tt_n, alg.add(tt, tp_n)), "transition"))
+        cs.append((alg.sub(ra_n, alg.add(ra, alg.mul(rb_n, rp_n))), "transition"))
+        cs.append((alg.sub(rt_n, alg.add(rt, rp_n)), "transition"))
+        # last row pins the four public sums
+        cs.append((alg.sub(ta, publics[0]), "last"))
+        cs.append((alg.sub(tt, publics[1]), "last"))
+        cs.append((alg.sub(ra, publics[2]), "last"))
+        cs.append((alg.sub(rt, publics[3]), "last"))
+        return cs
+
+
+def _pack_bytes32(b: bytes) -> list[int]:
+    return [int.from_bytes(b[i : i + 4], "big") for i in range(0, 32, 4)]
+
+
+def skip_publics(res_outputs: SkipPublicOutputs, res: SkipCheckResult) -> list[int]:
+    return (
+        [
+            res.signed_target_power,
+            res.total_target_power,
+            res.signed_trusted_power,
+            res.total_trusted_power,
+        ]
+        + _pack_bytes32(res_outputs.trusted_root)
+        + _pack_bytes32(res_outputs.target_root)
+        + _pack_bytes32(res_outputs.data_commitment)
+        + [res_outputs.trusted_height, res_outputs.target_height]
+    )
+
+
+def build_skip_trace(res: SkipCheckResult) -> np.ndarray:
+    n = max(len(res.target_powers), len(res.trusted_powers), 2)
+    n = 1 << (n - 1).bit_length()
+
+    def cols(powers, signed):
+        p = np.zeros(n, dtype=np.uint64)
+        b = np.zeros(n, dtype=np.uint64)
+        p[: len(powers)] = powers
+        b[: len(signed)] = signed.astype(np.uint64)
+        acc = np.cumsum((p * b).astype(object))  # python-int cumsum, no overflow
+        tot = np.cumsum(p.astype(object))
+        return p, b, np.array([int(x) % P for x in acc], np.uint64), np.array(
+            [int(x) % P for x in tot], np.uint64
+        )
+
+    tp, tb, ta, tt = cols(res.target_powers, res.target_signed)
+    rp, rb, ra, rt = cols(res.trusted_powers, res.trusted_signed)
+    return np.stack([tp, tb, ta, tt, rp, rb, ra, rt], axis=1)
+
+
+@dataclass
+class SkipProof:
+    outputs: SkipPublicOutputs
+    publics: list[int]
+    n_rows: int
+    stark: stark.StarkProof
+    timing: str  # rendered TimingTree
+
+
+PHASES = ["consensus", "trace", "stark"]
+
+
+def prove_skip(
+    witness: SkipWitness,
+    config: StarkConfig | None = None,
+    mesh=None,
+    metrics: MetricsWriter | None = None,
+    checkpoint_dir: str | None = None,
+) -> SkipProof:
+    """Full config-5 pipeline. Raises ValueError (fail-stop, SURVEY.md §5.3)
+    if the witness does not satisfy the skip relation."""
+    config = config or StarkConfig()
+    metrics = metrics or MetricsWriter(None)
+    ckpt = PhaseCheckpointer(checkpoint_dir, metrics.run_id)
+    timing = TimingTree("prove_skip")
+
+    with timing.scope(
+        "consensus", items=len(witness.range_heights), unit="headers"
+    ):
+        res = verify_skip(witness, mesh=mesh)
+    if not res.ok:
+        metrics.emit("skip_rejected", reasons=res.reasons)
+        raise ValueError(f"skip relation unsatisfied: {res.reasons}")
+    ckpt.save(
+        "consensus",
+        scalars={
+            "signed_target": res.signed_target_power,
+            "total_target": res.total_target_power,
+            "signed_trusted": res.signed_trusted_power,
+            "total_trusted": res.total_trusted_power,
+            "data_commitment": res.outputs.data_commitment.hex(),
+        },
+    )
+
+    with timing.scope("trace"):
+        trace = build_skip_trace(res)
+        publics = skip_publics(res.outputs, res)
+    ckpt.save("trace", arrays={"trace": trace})
+
+    with timing.scope("stark", items=trace.shape[0], unit="rows"):
+        proof = stark.prove(SkipAir(), trace, publics, config)
+    ckpt.save("stark", scalars={"done": 1})
+
+    timing.finish()
+    metrics.emit_timing(
+        timing,
+        n_headers=int(len(witness.range_heights)),
+        n_validators=int(len(res.target_powers)),
+        n_rows=int(trace.shape[0]),
+    )
+    return SkipProof(
+        outputs=res.outputs,
+        publics=publics,
+        n_rows=trace.shape[0],
+        stark=proof,
+        timing=timing.render(),
+    )
+
+
+def verify_skip_proof(proof: SkipProof, config: StarkConfig | None = None) -> bool:
+    """Host verifier: STARK transcript + threshold inequalities + public
+    consistency (roots/heights/commitment are bound by the transcript)."""
+    config = config or StarkConfig()
+    pub = proof.publics
+    if len(pub) != SkipAir.N_PUBLICS:
+        return False
+    signed_t, total_t, signed_r, total_r = pub[:4]
+    if not (signed_t * 3 > total_t * 2 and signed_r * 3 > total_r):
+        return False
+    out = proof.outputs
+    if pub[4:12] != _pack_bytes32(out.trusted_root):
+        return False
+    if pub[12:20] != _pack_bytes32(out.target_root):
+        return False
+    if pub[20:28] != _pack_bytes32(out.data_commitment):
+        return False
+    if pub[28:] != [out.trusted_height, out.target_height]:
+        return False
+    if out.target_height <= out.trusted_height:
+        return False
+    return stark.verify(SkipAir(), proof.stark, pub, config, proof.n_rows)
