@@ -216,12 +216,29 @@ def hash_columns(inputs: Gl, permute_fn=permute) -> Gl:
     """Hash N vectors of L field elements each: inputs (L, N) -> digests (4, N).
 
     Sponge with rate 8/capacity 4, no padding (fixed-length input), matching
-    golden hash_n_to_m_no_pad column-wise.
+    golden hash_n_to_m_no_pad column-wise. Full-rate absorb chunks run under
+    ONE lax.scan so compile time is O(1) in L (a 1300-element leaf would
+    otherwise unroll 163 permutations into the graph); the op order — and so
+    the digest — is identical to the unrolled loop.
     """
     lo, hi = inputs
     L, n = lo.shape
     state = gf64.zeros((WIDTH, n))
-    for start in range(0, L, RATE):
+    full = (L // RATE) * RATE
+    if full >= 2 * RATE:
+        chunks_lo = lo[:full].reshape(L // RATE, RATE, n)
+        chunks_hi = hi[:full].reshape(L // RATE, RATE, n)
+
+        def absorb(st, chunk):
+            slo = jnp.concatenate([chunk[0], st[0][RATE:]], axis=0)
+            shi = jnp.concatenate([chunk[1], st[1][RATE:]], axis=0)
+            return permute_fn((slo, shi)), None
+
+        state, _ = jax.lax.scan(absorb, state, (chunks_lo, chunks_hi))
+        start0 = full
+    else:
+        start0 = 0
+    for start in range(start0, L, RATE):
         chunk = min(RATE, L - start)
         slo = jnp.concatenate([lo[start : start + chunk], state[0][chunk:]], axis=0)
         shi = jnp.concatenate([hi[start : start + chunk], state[1][chunk:]], axis=0)

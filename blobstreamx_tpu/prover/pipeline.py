@@ -63,7 +63,7 @@ class SkipAir(Air):
     max_degree = 2
     N_PUBLICS = 30
 
-    def eval_constraints(self, local, nxt, publics, alg):
+    def eval_constraints(self, local, nxt, publics, alg, **frame):
         tp, tb, ta, tt, rp, rb, ra, rt = local
         tp_n, tb_n, ta_n, tt_n, rp_n, rb_n, ra_n, rt_n = nxt
         one = alg.const(1)
@@ -134,9 +134,12 @@ class SkipProof:
     n_rows: int
     stark: stark.StarkProof
     timing: str  # rendered TimingTree
+    # optional batched-SHA STARK proving every hash of the data-commitment
+    # tuple tree (prover.sha_claims; the Curta-analog path)
+    sha_stark: object | None = None
 
 
-PHASES = ["consensus", "trace", "stark"]
+PHASES = ["consensus", "trace", "stark", "sha_stark"]
 
 
 def prove_skip(
@@ -145,9 +148,12 @@ def prove_skip(
     mesh=None,
     metrics: MetricsWriter | None = None,
     checkpoint_dir: str | None = None,
+    with_sha_stark: bool = False,
 ) -> SkipProof:
     """Full config-5 pipeline. Raises ValueError (fail-stop, SURVEY.md §5.3)
-    if the witness does not satisfy the skip relation."""
+    if the witness does not satisfy the skip relation. with_sha_stark=True
+    additionally proves the data-commitment tuple tree's hashes in the
+    batched SHA-256 STARK instead of trusting device recomputation."""
     config = config or StarkConfig()
     metrics = metrics or MetricsWriter(None)
     ckpt = PhaseCheckpointer(checkpoint_dir, metrics.run_id)
@@ -180,6 +186,19 @@ def prove_skip(
         proof = stark.prove(SkipAir(), trace, publics, config)
     ckpt.save("stark", scalars={"done": 1})
 
+    sha_proof = None
+    if with_sha_stark:
+        from blobstreamx_tpu.prover import sha_claims
+
+        heights = [int(h) for h in witness.range_heights]
+        with timing.scope("sha_stark", items=len(heights), unit="leaves"):
+            sha_proof, sha_root = sha_claims.prove_data_commitment_stark(
+                heights, witness.range_data_hashes, config
+            )
+        if sha_root != res.outputs.data_commitment:
+            raise ValueError("sha-stark root mismatch vs device data commitment")
+    ckpt.save("sha_stark", scalars={"done": 1})
+
     timing.finish()
     metrics.emit_timing(
         timing,
@@ -193,12 +212,21 @@ def prove_skip(
         n_rows=trace.shape[0],
         stark=proof,
         timing=timing.render(),
+        sha_stark=sha_proof,
     )
 
 
-def verify_skip_proof(proof: SkipProof, config: StarkConfig | None = None) -> bool:
+def verify_skip_proof(
+    proof: SkipProof,
+    config: StarkConfig | None = None,
+    range_heights: list[int] | None = None,
+    range_data_hashes: list[bytes] | None = None,
+) -> bool:
     """Host verifier: STARK transcript + threshold inequalities + public
-    consistency (roots/heights/commitment are bound by the transcript)."""
+    consistency (roots/heights/commitment are bound by the transcript).
+    When the proof carries a sha_stark and the verifier supplies the claimed
+    range (heights, data_hashes), the data commitment's hash tree is checked
+    against the batched SHA-256 STARK as well."""
     config = config or StarkConfig()
     pub = proof.publics
     if len(pub) != SkipAir.N_PUBLICS:
@@ -217,4 +245,17 @@ def verify_skip_proof(proof: SkipProof, config: StarkConfig | None = None) -> bo
         return False
     if out.target_height <= out.trusted_height:
         return False
-    return stark.verify(SkipAir(), proof.stark, pub, config, proof.n_rows)
+    if not stark.verify(SkipAir(), proof.stark, pub, config, proof.n_rows):
+        return False
+    if proof.sha_stark is not None and range_heights is not None:
+        from blobstreamx_tpu.prover import sha_claims
+
+        if not sha_claims.verify_data_commitment_stark(
+            proof.sha_stark,
+            [int(h) for h in range_heights],
+            range_data_hashes,
+            out.data_commitment,
+            config,
+        ):
+            return False
+    return True

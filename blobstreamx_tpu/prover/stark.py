@@ -37,6 +37,7 @@ import numpy as np
 from blobstreamx_tpu.fields import gf64
 from blobstreamx_tpu.fields.gf64 import Gl, gl_add, gl_mul, gl_sub
 from blobstreamx_tpu.golden import goldilocks as gold
+from blobstreamx_tpu.golden import ntt as golden_ntt
 from blobstreamx_tpu.golden.challenger import Challenger
 from blobstreamx_tpu.golden.merkle import poseidon_verify_path
 from blobstreamx_tpu.ops import merkle as merkle_ops, ntt as ntt_ops, poseidon as pos
@@ -65,6 +66,7 @@ class QueryOpenings:
 
     trace: tuple[RowOpening, RowOpening]
     quotient: tuple[RowOpening, RowOpening]
+    stage2: tuple[RowOpening, RowOpening] | None = None
 
 
 @dataclass
@@ -76,6 +78,18 @@ class StarkProof:
     quotient_zeta: list[tuple[int, int]]  # per quotient base column (2 per chunk)
     fri: FriExtProof
     openings: list[QueryOpenings]  # parallel to fri.query_rounds
+    # second (challenge-dependent) trace commitment, empty when air.n_stage2 == 0
+    stage2_cap: list[list[int]] = None
+    stage2_zeta: list[tuple[int, int]] = None
+    stage2_gzeta: list[tuple[int, int]] = None
+
+    def __post_init__(self):
+        if self.stage2_cap is None:
+            self.stage2_cap = []
+        if self.stage2_zeta is None:
+            self.stage2_zeta = []
+        if self.stage2_gzeta is None:
+            self.stage2_gzeta = []
 
 
 # ----------------------------------------------------------------------------
@@ -163,11 +177,19 @@ def _ext_gather(e, idx):
 
 
 def _fold_cols_sum(x: Gl) -> Gl:
-    """Sum over axis 1 of an (n, C) Gl array (static C, unrolled adds)."""
-    acc = (x[0][:, 0], x[1][:, 0])
-    for j in range(1, x[0].shape[1]):
-        acc = gl_add(acc, (x[0][:, j], x[1][:, j]))
-    return acc
+    """Sum over axis 1 of an (n, C) Gl array by log-depth pairwise adds
+    (C need not be a power of two; graph size O(log C), not O(C))."""
+    lo, hi = x
+    while lo.shape[1] > 1:
+        k = lo.shape[1]
+        half = k // 2
+        s = gl_add((lo[:, :half], hi[:, :half]), (lo[:, half : 2 * half], hi[:, half : 2 * half]))
+        if k % 2:
+            lo = jnp.concatenate([s[0], lo[:, -1:]], axis=1)
+            hi = jnp.concatenate([s[1], hi[:, -1:]], axis=1)
+        else:
+            lo, hi = s
+    return lo[:, 0], hi[:, 0]
 
 
 def _sum_axis0(x: Gl) -> Gl:
@@ -204,7 +226,51 @@ def _as_tree(layers, cap_height: int) -> merkle_ops.PoseidonTree:
 
 
 @lru_cache(maxsize=None)
-def _phases(air_key, air: Air, n: int, n_pub: int, config: StarkConfig, shift: int):
+def _fixed_lde_cached(air_key, air: Air, n: int, rate_bits: int, shift: int):
+    """Device LDE of the AIR's preprocessed columns (never committed; the
+    verifier evaluates the same known polynomials at zeta on host)."""
+    table = air.fixed_columns(n)
+    if table is None or table.shape[1] == 0:
+        n_ext = n << rate_bits
+        import jax.numpy as _jnp
+
+        z = _jnp.zeros((n_ext, 0), _jnp.uint32)
+        return (z, z)
+    fixed_gl = gf64.from_u64(np.asarray(table, np.uint64) % P)
+
+    @jax.jit
+    def build(x):
+        coeffs = ntt_ops.ntt_cols(x, inverse=True)
+        return ntt_ops.lde_cols(coeffs, rate_bits, shift)
+
+    return build(fixed_gl)
+
+
+def _combine_alpha_device(constraints, alpha, alg: "DeviceAlgebra"):
+    """Width-aware alpha combination: constraint j's columns get consecutive
+    alpha powers; returns {kind: ext accumulator} (device)."""
+    total = sum(alg.width(v) for v, _ in constraints)
+    w_pow2 = 1 << max(1, (total - 1).bit_length()) if total > 1 else 1
+    pow_vec = _ext_powers_pow2(alpha, max(w_pow2, 2))  # ext, shape (>=total,)
+    acc = {}
+    offset = 0
+    for value, kind in constraints:
+        w = alg.width(value)
+        if w == 1:
+            a_o = _ext_gather(pow_vec, np.array([offset]))
+            term = (gl_mul(value, a_o[0]), gl_mul(value, a_o[1]))
+        else:
+            rows = _ext_gather(pow_vec, np.arange(offset, offset + w))
+            t0 = alg.sum_cols(gl_mul(value, (rows[0][0][None, :], rows[0][1][None, :])))
+            t1 = alg.sum_cols(gl_mul(value, (rows[1][0][None, :], rows[1][1][None, :])))
+            term = (t0, t1)
+        acc[kind] = gf64.ext_add(acc[kind], term) if kind in acc else term
+        offset += w
+    return acc
+
+
+@lru_cache(maxsize=None)
+def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig, shift: int):
     n_cols = air.n_cols
     blowup = config.blowup()
     n_ext = n * blowup
@@ -221,23 +287,37 @@ def _phases(air_key, air: Air, n: int, n_pub: int, config: StarkConfig, shift: i
         layers = _tree_layers((lde[0].T, lde[1].T), ch)
         return coeffs, lde, layers
 
-    @jax.jit
-    def quotient(trace_lde, pub_gl, alpha):
-        local = [(trace_lde[0][:, j], trace_lde[1][:, j]) for j in range(n_cols)]
-        nxt_lo = jnp.roll(trace_lde[0], -blowup, axis=0)
-        nxt_hi = jnp.roll(trace_lde[1], -blowup, axis=0)
-        nxt = [(nxt_lo[:, j], nxt_hi[:, j]) for j in range(n_cols)]
-        publics = [(pub_gl[0][j : j + 1], pub_gl[1][j : j + 1]) for j in range(n_pub)]
-        alg = DeviceAlgebra((n_ext,))
-        constraints = air.eval_constraints(local, nxt, publics, alg)
+    n_fixed = air.n_fixed
+    n_s2 = air.n_stage2
 
-        acc = {}
-        a_pow = gf64.ext_full((1,), (1, 0))
-        for value, kind in constraints:
+    @jax.jit
+    def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+        def frame(lde, k):
+            cur = [(lde[0][:, j], lde[1][:, j]) for j in range(k)]
+            nlo = jnp.roll(lde[0], -blowup, axis=0)
+            nhi = jnp.roll(lde[1], -blowup, axis=0)
+            return cur, [(nlo[:, j], nhi[:, j]) for j in range(k)]
+
+        local, nxt = frame(trace_lde, n_cols)
+        stage2, stage2_next = frame(s2_lde, n_s2)
+        fixed, fixed_next = frame(fixed_lde, n_fixed)
+        publics = [(pub_gl[0][j : j + 1], pub_gl[1][j : j + 1]) for j in range(n_pub)]
+        chals = [(chal_gl[0][j : j + 1], chal_gl[1][j : j + 1]) for j in range(n_chal)]
+        alg = DeviceAlgebra((n_ext,))
+        constraints = air.eval_constraints(
+            local,
+            nxt,
+            publics,
+            alg,
+            fixed=fixed,
+            fixed_next=fixed_next,
+            challenges=chals,
+            stage2=stage2,
+            stage2_next=stage2_next,
+        )
+        for _, kind in constraints:
             assert kind in KINDS
-            term = (gl_mul(value, a_pow[0]), gl_mul(value, a_pow[1]))
-            acc[kind] = gf64.ext_add(acc[kind], term) if kind in acc else term
-            a_pow = gf64.ext_mul(a_pow, alpha)
+        acc = _combine_alpha_device(constraints, alpha, alg)
 
         x_tab = gf64.from_u64(_domain_table(log_n_ext, shift))
         zh_inv = gf64.from_u64(_zh_inv_table(log_n, config.rate_bits, shift))
@@ -272,41 +352,52 @@ def _phases(air_key, air: Air, n: int, n_pub: int, config: StarkConfig, shift: i
         return q_chunk_coeffs, q_lde, layers
 
     @jax.jit
-    def openings(trace_coeffs, q_chunk_coeffs, zeta, g_zeta):
+    def openings(trace_coeffs, s2_coeffs, q_chunk_coeffs, zeta, g_zeta):
         pz = _ext_powers_pow2(zeta, n)
         pgz = _ext_powers_pow2(g_zeta, n)
         return (
             _eval_columns_at(trace_coeffs, pz),
             _eval_columns_at(trace_coeffs, pgz),
+            _eval_columns_at(s2_coeffs, pz),
+            _eval_columns_at(s2_coeffs, pgz),
             _eval_columns_at(q_chunk_coeffs, pz),
         )
 
-    m_pows = 2 * n_cols + 2 * blowup
+    n_wit = n_cols + n_s2  # witness columns opened at both zeta and g*zeta
+    m_pows = 2 * n_wit + 2 * blowup
 
     @jax.jit
-    def deep(trace_lde, q_lde, zeta, g_zeta, gamma, tz, tgz, qz):
+    def deep(trace_lde, s2_lde, q_lde, zeta, g_zeta, gamma, tz, tgz, s2z, s2gz, qz):
         g_pows = _ext_powers_seq(gamma, m_pows)  # ext (m,)
-        idx_a = np.concatenate([np.arange(n_cols), 2 * n_cols + np.arange(2 * blowup)])
-        idx_b = n_cols + np.arange(n_cols)
-        gp_a = _ext_gather(g_pows, idx_a)  # (C + 2B,)
-        gp_b = _ext_gather(g_pows, idx_b)  # (C,)
+        idx_a = np.concatenate([np.arange(n_wit), 2 * n_wit + np.arange(2 * blowup)])
+        idx_b = n_wit + np.arange(n_wit)
+        gp_a = _ext_gather(g_pows, idx_a)  # (W + 2B,)
+        gp_b = _ext_gather(g_pows, idx_b)  # (W,)
 
+        wit_lde = (
+            jnp.concatenate([trace_lde[0], s2_lde[0]], axis=1),
+            jnp.concatenate([trace_lde[1], s2_lde[1]], axis=1),
+        )
         cols_a = (
-            jnp.concatenate([trace_lde[0], q_lde[0]], axis=1),
-            jnp.concatenate([trace_lde[1], q_lde[1]], axis=1),
+            jnp.concatenate([wit_lde[0], q_lde[0]], axis=1),
+            jnp.concatenate([wit_lde[1], q_lde[1]], axis=1),
         )
         open_a = tuple(
-            (jnp.concatenate([a[0], b[0]]), jnp.concatenate([a[1], b[1]]))
-            for a, b in zip(tz, qz)
+            (jnp.concatenate([a[0], s[0], b[0]]), jnp.concatenate([a[1], s[1], b[1]]))
+            for a, s, b in zip(tz, s2z, qz)
+        )
+        open_b = tuple(
+            (jnp.concatenate([a[0], s[0]]), jnp.concatenate([a[1], s[1]]))
+            for a, s in zip(tgz, s2gz)
         )
         # A(x) = sum_t gp_a[t] * col_t(x); c_a = sum_t gp_a[t] * opened_t
         a0 = _fold_cols_sum(gl_mul(cols_a, (gp_a[0][0][None, :], gp_a[0][1][None, :])))
         a1 = _fold_cols_sum(gl_mul(cols_a, (gp_a[1][0][None, :], gp_a[1][1][None, :])))
         ca = gf64.ext_mul(gp_a, open_a)
         ca = tuple(_sum_axis0_vec(c) for c in ca)
-        b0 = _fold_cols_sum(gl_mul(trace_lde, (gp_b[0][0][None, :], gp_b[0][1][None, :])))
-        b1 = _fold_cols_sum(gl_mul(trace_lde, (gp_b[1][0][None, :], gp_b[1][1][None, :])))
-        cb = gf64.ext_mul(gp_b, tgz)
+        b0 = _fold_cols_sum(gl_mul(wit_lde, (gp_b[0][0][None, :], gp_b[0][1][None, :])))
+        b1 = _fold_cols_sum(gl_mul(wit_lde, (gp_b[1][0][None, :], gp_b[1][1][None, :])))
+        cb = gf64.ext_mul(gp_b, open_b)
         cb = tuple(_sum_axis0_vec(c) for c in cb)
 
         x_tab = gf64.from_u64(_domain_table(log_n_ext, shift))
@@ -330,11 +421,18 @@ def _bcast2(z):
 
 
 def _sum_axis0_vec(x: Gl) -> Gl:
-    """Sum a (C,) Gl vector to a (1,) scalar (C static, unrolled)."""
-    acc = (x[0][0:1], x[1][0:1])
-    for j in range(1, x[0].shape[0]):
-        acc = gl_add(acc, (x[0][j : j + 1], x[1][j : j + 1]))
-    return acc
+    """Sum a (C,) Gl vector to a (1,) scalar by log-depth pairwise adds."""
+    lo, hi = x
+    while lo.shape[0] > 1:
+        k = lo.shape[0]
+        half = k // 2
+        s = gl_add((lo[:half], hi[:half]), (lo[half : 2 * half], hi[half : 2 * half]))
+        if k % 2:
+            lo = jnp.concatenate([s[0], lo[-1:]])
+            hi = jnp.concatenate([s[1], hi[-1:]])
+        else:
+            lo, hi = s
+    return lo, hi
 
 
 def _observe_cap(challenger: Challenger, cap_ints) -> None:
@@ -358,9 +456,11 @@ def prove(
     publics: list[int],
     config: StarkConfig,
     shift: int = gold.COSET_SHIFT,
+    aux=None,
 ) -> StarkProof:
     """trace: (n_rows, n_cols) uint64 execution trace (rows over the subgroup
-    H of order n_rows, natural order)."""
+    H of order n_rows, natural order). aux: post-commit claims for AIRs with
+    sample_challenges (observed into the transcript before sampling)."""
     n, n_cols = trace.shape
     assert n & (n - 1) == 0
     assert n_cols == air.n_cols
@@ -371,46 +471,73 @@ def prove(
     g = gold.root_of_unity(log_n)
     ch = min(config.cap_height, (n_ext - 1).bit_length())
 
-    f_commit, f_quotient, f_openings, f_deep = _phases(
-        air.cache_key(), air, n, len(publics), config, shift
-    )
-
     challenger = Challenger()
     challenger.observe_many([v % P for v in publics])
 
     trace_gl = gf64.from_u64(trace)
+    fixed_lde = _fixed_lde_cached(air.cache_key(), air, n, config.rate_bits, shift)
+    f_commit, f_quotient, f_openings, f_deep = _phases(
+        air.cache_key(), air, n, len(publics), air.n_challenges, config, shift
+    )
     trace_coeffs, trace_lde, t_layers = f_commit(trace_gl)
     trace_tree = _as_tree(t_layers, ch)
     trace_cap = merkle_ops.cap_to_ints(trace_tree)
     _observe_cap(challenger, trace_cap)
 
+    air.observe_aux(challenger, aux)
+    chals = air.sample_challenges(challenger, aux)
+    assert len(chals) == air.n_challenges
+    chal_gl = gf64.from_u64(np.array([v % P for v in chals], np.uint64))
+
+    # stage 2: challenge-dependent columns, committed AFTER sampling
+    n_s2 = air.n_stage2
+    if n_s2:
+        s2 = air.build_stage2(trace, chals, aux)
+        assert s2.shape == (n, n_s2)
+        s2_gl = gf64.from_u64(np.asarray(s2, np.uint64) % P)
+        s2_coeffs, s2_lde, s2_layers = f_commit(s2_gl)
+        s2_tree = _as_tree(s2_layers, ch)
+        s2_cap = merkle_ops.cap_to_ints(s2_tree)
+        _observe_cap(challenger, s2_cap)
+    else:
+        z = jnp.zeros((n, 0), jnp.uint32)
+        ze = jnp.zeros((n_ext, 0), jnp.uint32)
+        s2_coeffs, s2_lde, s2_tree, s2_cap = (z, z), (ze, ze), None, []
+
     alpha = challenger.sample_ext()
     pub_gl = gf64.from_u64(np.array([v % P for v in publics], np.uint64))
-    q_chunk_coeffs, q_lde, q_layers = f_quotient(trace_lde, pub_gl, _ext_to_device(alpha))
+    q_chunk_coeffs, q_lde, q_layers = f_quotient(
+        trace_lde, s2_lde, pub_gl, _ext_to_device(alpha), fixed_lde, chal_gl
+    )
     q_tree = _as_tree(q_layers, ch)
     q_cap = merkle_ops.cap_to_ints(q_tree)
     _observe_cap(challenger, q_cap)
 
     zeta = challenger.sample_ext()
     g_zeta = gold.ext_mul(zeta, (g, 0))
-    tz_d, tgz_d, qz_d = f_openings(
-        trace_coeffs, q_chunk_coeffs, _ext_to_device(zeta), _ext_to_device(g_zeta)
+    tz_d, tgz_d, s2z_d, s2gz_d, qz_d = f_openings(
+        trace_coeffs, s2_coeffs, q_chunk_coeffs, _ext_to_device(zeta), _ext_to_device(g_zeta)
     )
     trace_zeta = _ext_vec_to_host(tz_d)
     trace_gzeta = _ext_vec_to_host(tgz_d)
+    stage2_zeta = _ext_vec_to_host(s2z_d)
+    stage2_gzeta = _ext_vec_to_host(s2gz_d)
     quotient_zeta = _ext_vec_to_host(qz_d)
-    for v in trace_zeta + trace_gzeta + quotient_zeta:
+    for v in trace_zeta + trace_gzeta + stage2_zeta + stage2_gzeta + quotient_zeta:
         _observe_ext(challenger, v)
 
     gamma = challenger.sample_ext()
     deep_cw = f_deep(
         trace_lde,
+        s2_lde,
         q_lde,
         _ext_to_device(zeta),
         _ext_to_device(g_zeta),
         _ext_to_device(gamma),
         tz_d,
         tgz_d,
+        s2z_d,
+        s2gz_d,
         qz_d,
     )
 
@@ -418,18 +545,26 @@ def prove(
 
     t_host = gf64.to_u64(trace_lde)
     q_host = gf64.to_u64(q_lde)
+    s2_host = gf64.to_u64(s2_lde) if n_s2 else None
     half = n_ext // 2
     openings = []
     for idx in indices:
         i = idx % half
+        sources = [(t_host, trace_tree), (q_host, q_tree)]
+        if n_s2:
+            sources.append((s2_host, s2_tree))
         rows = []
-        for host, tree in ((t_host, trace_tree), (q_host, q_tree)):
+        for host, tree in sources:
             pair = []
             for posn in (i, i + half):
                 path, _ = tree.path(posn)
                 pair.append(RowOpening(row=[int(v) for v in host[posn]], path=path))
             rows.append((pair[0], pair[1]))
-        openings.append(QueryOpenings(trace=rows[0], quotient=rows[1]))
+        openings.append(
+            QueryOpenings(
+                trace=rows[0], quotient=rows[1], stage2=rows[2] if n_s2 else None
+            )
+        )
 
     return StarkProof(
         trace_cap=trace_cap,
@@ -439,12 +574,69 @@ def prove(
         quotient_zeta=quotient_zeta,
         fri=fri_proof,
         openings=openings,
+        stage2_cap=s2_cap,
+        stage2_zeta=stage2_zeta,
+        stage2_gzeta=stage2_gzeta,
     )
 
 
 # ----------------------------------------------------------------------------
 # verifier (host, pure python ints)
 # ----------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _fixed_coeffs_host(air_key, air: Air, n: int):
+    """Host (python-int) coefficient vectors of the AIR's preprocessed
+    columns — the verifier evaluates these known polynomials at zeta itself,
+    independently of the device."""
+    table = air.fixed_columns(n)
+    if table is None or table.shape[1] == 0:
+        return []
+    return [golden_ntt.intt([int(v) % P for v in table[:, j]]) for j in range(table.shape[1])]
+
+
+def _eval_fixed_host(coeff_cols, z: tuple[int, int]) -> list[tuple[int, int]]:
+    """Evaluate each fixed-column polynomial (base coeffs) at the ext point z."""
+    if not coeff_cols:
+        return []
+    n = len(coeff_cols[0])
+    pows = [(1, 0)]
+    for _ in range(n - 1):
+        pows.append(gold.ext_mul(pows[-1], z))
+    out = []
+    for coeffs in coeff_cols:
+        a0 = a1 = 0
+        for c, (z0, z1) in zip(coeffs, pows):
+            if c:
+                a0 += c * z0
+                a1 += c * z1
+        out.append((a0 % P, a1 % P))
+    return out
+
+
+def _combine_alpha_host(constraints, alpha, alg: HostExtAlgebra):
+    """Width-aware alpha combination on host — same power assignment as
+    _combine_alpha_device (constraint order and widths define it)."""
+    acc: dict[str, tuple[int, int]] = {}
+    offset = 0
+    cur = (1, 0)
+    pows = []
+    total = sum(alg.width(v) for v, _ in constraints)
+    for _ in range(total):
+        pows.append(cur)
+        cur = gold.ext_mul(cur, alpha)
+    for value, kind in constraints:
+        w = alg.width(value)
+        if w == 1:
+            term = gold.ext_mul(value, pows[offset])
+        else:
+            term = (0, 0)
+            for j in range(w):
+                term = gold.ext_add(term, gold.ext_mul(value[j], pows[offset + j]))
+        acc[kind] = gold.ext_add(acc.get(kind, (0, 0)), term)
+        offset += w
+    return acc
 
 
 def _host_divisor_inv(kind: str, zeta, n: int, g_last: int):
@@ -467,6 +659,7 @@ def verify(
     config: StarkConfig,
     n: int,
     shift: int = gold.COSET_SHIFT,
+    aux=None,
 ) -> bool:
     n_cols = air.n_cols
     blowup = config.blowup()
@@ -477,20 +670,38 @@ def verify(
     g_last = pow(g, n - 1, P)
     w_ext = gold.root_of_unity(log_n_ext)
 
+    n_s2 = air.n_stage2
     if len(proof.trace_zeta) != n_cols or len(proof.trace_gzeta) != n_cols:
         return False
     if len(proof.quotient_zeta) != 2 * blowup:
+        return False
+    if len(proof.stage2_zeta) != n_s2 or len(proof.stage2_gzeta) != n_s2:
+        return False
+    if n_s2 and not proof.stage2_cap:
         return False
 
     challenger = Challenger()
     challenger.observe_many([v % P for v in publics])
     for digest in proof.trace_cap:
         challenger.observe_many(digest)
+    air.observe_aux(challenger, aux)
+    chals = air.sample_challenges(challenger, aux)
+    if len(chals) != air.n_challenges:
+        return False
+    if n_s2:
+        for digest in proof.stage2_cap:
+            challenger.observe_many(digest)
     alpha = challenger.sample_ext()
     for digest in proof.quotient_cap:
         challenger.observe_many(digest)
     zeta = challenger.sample_ext()
-    for v in proof.trace_zeta + proof.trace_gzeta + proof.quotient_zeta:
+    for v in (
+        proof.trace_zeta
+        + proof.trace_gzeta
+        + proof.stage2_zeta
+        + proof.stage2_gzeta
+        + proof.quotient_zeta
+    ):
         _observe_ext(challenger, v)
     gamma = challenger.sample_ext()
 
@@ -498,15 +709,22 @@ def verify(
     alg = HostExtAlgebra()
     g_zeta = gold.ext_mul(zeta, (g, 0))
     pub_elems = [(v % P, 0) for v in publics]
+    fixed_coeffs = _fixed_coeffs_host(air.cache_key(), air, n)
+    fixed_zeta = _eval_fixed_host(fixed_coeffs, zeta)
+    fixed_gzeta = _eval_fixed_host(fixed_coeffs, g_zeta)
+    chal_elems = [(v % P, 0) for v in chals]
     constraints = air.eval_constraints(
-        list(proof.trace_zeta), list(proof.trace_gzeta), pub_elems, alg
+        list(proof.trace_zeta),
+        list(proof.trace_gzeta),
+        pub_elems,
+        alg,
+        fixed=fixed_zeta,
+        fixed_next=fixed_gzeta,
+        challenges=chal_elems,
+        stage2=list(proof.stage2_zeta),
+        stage2_next=list(proof.stage2_gzeta),
     )
-    acc = {}
-    a_pow = (1, 0)
-    for value, kind in constraints:
-        term = gold.ext_mul(value, a_pow)
-        acc[kind] = gold.ext_add(acc.get(kind, (0, 0)), term)
-        a_pow = gold.ext_mul(a_pow, alpha)
+    acc = _combine_alpha_host(constraints, alpha, alg)
     lhs = (0, 0)
     for kind, v in acc.items():
         lhs = gold.ext_add(lhs, gold.ext_mul(v, _host_divisor_inv(kind, zeta, n, g_last)))
@@ -524,36 +742,39 @@ def verify(
         return False
 
     # --- DEEP recomputation + FRI ------------------------------------------
+    n_wit = n_cols + n_s2
     g_pows = []
     cur = (1, 0)
-    for _ in range(2 * n_cols + 2 * blowup):
+    for _ in range(2 * n_wit + 2 * blowup):
         g_pows.append(cur)
         cur = gold.ext_mul(cur, gamma)
+    wit_zeta = proof.trace_zeta + proof.stage2_zeta
+    wit_gzeta = proof.trace_gzeta + proof.stage2_gzeta
 
     half = n_ext // 2
     query_state = {"round": -1}
 
-    def deep_at(posn: int, row_t: list[int], row_q: list[int]):
+    def deep_at(posn: int, row_w: list[int], row_q: list[int]):
         x = gold.mul(shift % P, pow(w_ext, posn, P))
         inv_xz = gold.ext_inv(gold.ext_sub((x, 0), zeta))
         inv_xgz = gold.ext_inv(gold.ext_sub((x, 0), g_zeta))
         num_a = (0, 0)
         num_b = (0, 0)
-        for j in range(n_cols):
-            tv = (row_t[j] % P, 0)
+        for j in range(n_wit):
+            tv = (row_w[j] % P, 0)
             num_a = gold.ext_add(
-                num_a, gold.ext_mul(g_pows[j], gold.ext_sub(tv, proof.trace_zeta[j]))
+                num_a, gold.ext_mul(g_pows[j], gold.ext_sub(tv, wit_zeta[j]))
             )
             num_b = gold.ext_add(
                 num_b,
-                gold.ext_mul(g_pows[n_cols + j], gold.ext_sub(tv, proof.trace_gzeta[j])),
+                gold.ext_mul(g_pows[n_wit + j], gold.ext_sub(tv, wit_gzeta[j])),
             )
         for k in range(2 * blowup):
             qv = (row_q[k] % P, 0)
             num_a = gold.ext_add(
                 num_a,
                 gold.ext_mul(
-                    g_pows[2 * n_cols + k], gold.ext_sub(qv, proof.quotient_zeta[k])
+                    g_pows[2 * n_wit + k], gold.ext_sub(qv, proof.quotient_zeta[k])
                 ),
             )
         return gold.ext_add(gold.ext_mul(num_a, inv_xz), gold.ext_mul(num_b, inv_xgz))
@@ -564,10 +785,11 @@ def verify(
         if r >= len(proof.openings):
             return False
         q = proof.openings[r]
-        for posn, row_open_t, row_open_q, want in (
-            (i, q.trace[0], q.quotient[0], pair[0]),
-            (i + half, q.trace[1], q.quotient[1], pair[1]),
-        ):
+        if n_s2 and q.stage2 is None:
+            return False
+        for side, (posn, want) in enumerate(((i, pair[0]), (i + half, pair[1]))):
+            row_open_t = q.trace[side]
+            row_open_q = q.quotient[side]
             if len(row_open_t.row) != n_cols or len(row_open_q.row) != 2 * blowup:
                 return False
             if not poseidon_verify_path(
@@ -578,7 +800,20 @@ def verify(
                 proof.quotient_cap, [v % P for v in row_open_q.row], posn, row_open_q.path
             ):
                 return False
-            if deep_at(posn, row_open_t.row, row_open_q.row) != want:
+            row_w = list(row_open_t.row)
+            if n_s2:
+                row_open_s2 = q.stage2[side]
+                if len(row_open_s2.row) != n_s2:
+                    return False
+                if not poseidon_verify_path(
+                    proof.stage2_cap,
+                    [v % P for v in row_open_s2.row],
+                    posn,
+                    row_open_s2.path,
+                ):
+                    return False
+                row_w += list(row_open_s2.row)
+            if deep_at(posn, row_w, row_open_q.row) != want:
                 return False
         return True
 

@@ -20,7 +20,7 @@ class FibAir(Air):
     n_cols = 2
     max_degree = 2
 
-    def eval_constraints(self, local, nxt, publics, alg):
+    def eval_constraints(self, local, nxt, publics, alg, **frame):
         a, b = local
         an, bn = nxt
         c0, c1, c_last = publics
@@ -89,3 +89,86 @@ class TestStark:
         trace[7, 1] = (trace[7, 1] + 1) % P  # break the recurrence mid-trace
         proof = stark.prove(FibAir(), trace, publics, CFG)
         assert not stark.verify(FibAir(), proof, publics, CFG, n)
+
+
+class BusAir(Air):
+    """Stage-2 exercise: a Horner bus accumulator over a witness column.
+
+    aux = the claimed list of all n column values. Transcript: observe aux,
+    sample r, derive C = Horner fold of aux with r. Stage-2 column acc is
+    committed after r is known; constraints pin acc to the Horner recurrence
+    and its last value to C, binding the committed column to the claim."""
+
+    n_cols = 1
+    n_stage2 = 1
+    n_challenges = 2
+    max_degree = 2
+
+    def eval_constraints(self, local, nxt, publics, alg, fixed=None, fixed_next=None,
+                         challenges=None, stage2=None, stage2_next=None):
+        (v,) = local
+        (vn,) = nxt
+        (acc,) = stage2
+        (accn,) = stage2_next
+        r, c_final = challenges
+        return [
+            (alg.sub(acc, v), "first"),
+            (alg.sub(accn, alg.add(alg.mul(acc, r), vn)), "transition"),
+            (alg.sub(acc, c_final), "last"),
+        ]
+
+    def observe_aux(self, challenger, aux):
+        challenger.observe_many([x % P for x in aux])
+
+    def sample_challenges(self, challenger, aux):
+        r = challenger.sample()
+        c = 0
+        for x in aux:
+            c = (c * r + x) % P
+        return [r, c]
+
+    def build_stage2(self, trace, challenges, aux):
+        r = challenges[0]
+        acc = np.zeros((trace.shape[0], 1), dtype=np.uint64)
+        cur = 0
+        for i, x in enumerate(trace[:, 0]):
+            cur = (cur * r + int(x)) % P
+            acc[i, 0] = cur
+        return acc
+
+
+class TestStage2:
+    CFG2 = StarkConfig(
+        rate_bits=2, cap_height=1, num_query_rounds=12, proof_of_work_bits=6, final_poly_len=8
+    )
+
+    def _prove(self, values):
+        n = len(values)
+        trace = np.array(values, dtype=np.uint64).reshape(n, 1)
+        aux = [int(v) for v in values]
+        proof = stark.prove(BusAir(), trace, [], self.CFG2, aux=aux)
+        return trace, aux, proof
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        values = rng.integers(0, P, size=32, dtype=np.uint64)
+        _, aux, proof = self._prove(values)
+        assert proof.stage2_cap and len(proof.stage2_zeta) == 1
+        assert stark.verify(BusAir(), proof, [], self.CFG2, 32, aux=aux)
+
+    def test_wrong_aux_rejected(self):
+        rng = np.random.default_rng(4)
+        values = rng.integers(0, P, size=32, dtype=np.uint64)
+        _, aux, proof = self._prove(values)
+        bad = list(aux)
+        bad[5] = (bad[5] + 1) % P
+        assert not stark.verify(BusAir(), proof, [], self.CFG2, 32, aux=bad)
+
+    def test_tampered_stage2_opening_rejected(self):
+        rng = np.random.default_rng(5)
+        values = rng.integers(0, P, size=32, dtype=np.uint64)
+        _, aux, proof = self._prove(values)
+        bad = dataclasses.replace(
+            proof, stage2_zeta=[((v0 + 1) % P, v1) for v0, v1 in proof.stage2_zeta]
+        )
+        assert not stark.verify(BusAir(), bad, [], self.CFG2, 32, aux=aux)
