@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (SURVEY.md §7.3 step 9, §5.5; the ≥80 %
+multi-host target in BASELINE.md): measures per-kernel throughput at 1 device
+and at N devices through the SAME shard_map programs the prover uses, and
+writes JSONL records a BASELINE table can consume.
+
+On real pod slices this measures ICI-bound scaling; on the CPU backend with
+virtual devices (the only multi-device option in this image, SURVEY.md §4.3
+item 4) the numbers validate the *mechanics* — sharding, collectives,
+record schema — not silicon performance.
+
+Usage:
+  JAX_PLATFORMS=cpu python benches/scaling.py --devices 8 --out scaling.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def _sync(x):
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def _time(fn, *args, iters=5):
+    fn(*args)  # compile + warm
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--log-n", type=int, default=16, help="NTT size exponent")
+    ap.add_argument("--hashes", type=int, default=1 << 12)
+    ap.add_argument("--out", default="scaling.jsonl")
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    # Do NOT probe jax.default_backend() here — that initializes the backend
+    # and locks the platform before we can request virtual CPU devices.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or not os.environ.get(
+        "BSX_SCALING_REAL", ""
+    ):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.devices)
+        except Exception:
+            pass  # backend already up (e.g. a real pod slice run)
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from blobstreamx_tpu.fields import gf64
+    from blobstreamx_tpu.golden import goldilocks as gl
+    from blobstreamx_tpu.ops import ntt as ntt_ops, poseidon as pos
+    from blobstreamx_tpu.parallel import mesh as pmesh, ntt as pntt, merkle as pmerkle
+    from blobstreamx_tpu.utils.metrics import MetricsWriter
+
+    devices = jax.devices()
+    n_dev = min(args.devices, len(devices))
+    metrics = MetricsWriter(args.out)
+    rng = np.random.default_rng(0)
+
+    # ---- NTT: single-device four-step vs sharded six-step ------------------
+    n = 1 << args.log_n
+    poly = gf64.from_u64(rng.integers(0, gl.P, size=(n,), dtype=np.uint64))
+    t1 = _time(jax.jit(ntt_ops.ntt_four_step), poly)
+    bf = ntt_ops.butterfly_count(args.log_n)
+    rec1 = {"butterflies_per_s": bf / t1, "devices": 1, "wall_s": t1}
+    metrics.emit("ntt_single", n=n, **rec1)
+
+    mesh = Mesh(np.array(devices[:n_dev]), (pmesh.AXIS,))
+    tn = _time(lambda x: pntt.ntt_sharded(x, mesh), poly)
+    recn = {"butterflies_per_s": bf / tn, "devices": n_dev, "wall_s": tn}
+    metrics.emit("ntt_sharded", n=n, **recn)
+    eff_ntt = (bf / tn) / (n_dev * bf / t1)
+    metrics.emit("ntt_scaling", devices=n_dev, efficiency=eff_ntt)
+
+    # ---- Poseidon tree: single vs column-sharded ----------------------------
+    n_leaves = args.hashes
+    leaves = gf64.from_u64(rng.integers(0, gl.P, size=(8, n_leaves), dtype=np.uint64))
+    from blobstreamx_tpu.ops import merkle as merkle_ops
+
+    t1p = _time(jax.jit(lambda x: merkle_ops.tree_layers(x, 1)[-1]), leaves)
+    hashes = 2 * n_leaves - 1
+    metrics.emit("poseidon_tree_single", hashes_per_s=hashes / t1p, devices=1, wall_s=t1p)
+
+    sh_leaves = jax.device_put(leaves, pmesh.col_sharding(mesh))
+    tnp = _time(
+        lambda x: pmerkle.poseidon_tree_sharded(x, mesh, cap_height=0).layers[-1],
+        sh_leaves,
+    )
+    metrics.emit(
+        "poseidon_tree_sharded", hashes_per_s=hashes / tnp, devices=n_dev, wall_s=tnp
+    )
+    eff_pos = (hashes / tnp) / (n_dev * hashes / t1p)
+    metrics.emit("poseidon_scaling", devices=n_dev, efficiency=eff_pos)
+
+    print(
+        f"devices={n_dev} ntt_eff={eff_ntt:.3f} poseidon_eff={eff_pos:.3f} "
+        f"(1.0 = perfect linear scaling; CPU virtual devices share cores, so "
+        f"efficiencies near 1/{n_dev} are expected off-silicon)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,153 @@ def ntt_cols(x: Gl, inverse: bool = False) -> Gl:
     return out
 
 
+# ----------------------------------------------------------------------------
+# roll-formulated stages + fused Pallas kernel (all stages on one VMEM tile)
+# ----------------------------------------------------------------------------
+#
+# The reshape/stack stage above materializes the array between stages (~2 HBM
+# round trips per stage). The roll formulation below uses only full-width 2D
+# elementwise ops + a circular shift, so a Pallas kernel can run EVERY stage
+# on a VMEM-resident column tile: one HBM read + one write for the whole
+# transform. Per stage, for pair distance h = 2^s (DIT, bit-reversed input):
+#
+#   t  = x * TW[s]        TW = twiddle at odd slots, 1 at even slots
+#   y  = where(even_slot,  x + roll(t, -h),  roll(x, +h) - t)
+#
+#   even slot i0:  x[i0] + w*x[i0+h]     odd slot i1:  x[i1-h] - w*x[i1]
+
+
+@lru_cache(maxsize=None)
+def _stage_tw_table(log_n: int, inverse: bool) -> np.ndarray:
+    """(log_n, n) uint64: TW[s][i] = w^((i mod 2^s) * n/2^{s+1}) when bit s of
+    i is set, else 1 (the even slot's no-op multiplier)."""
+    n = 1 << log_n
+    full = power_table(log_n, inverse)  # w^k, k < n/2
+    out = np.ones((log_n, n), dtype=np.uint64)
+    idx = np.arange(n)
+    for s in range(log_n):
+        h = 1 << s
+        stride = n >> (s + 1)
+        odd = (idx >> s) & 1 == 1
+        out[s, odd] = full[(idx[odd] % h) * stride]
+    return out
+
+
+@lru_cache(maxsize=None)
+def _stage_even_mask(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    return np.stack([((idx >> s) & 1) == 0 for s in range(log_n)])
+
+
+def _roll_stages(x: Gl, log_n: int, tw: Gl, masks, roll_fn) -> Gl:
+    """All butterfly stages in the roll formulation; x is (n, C) bit-reversed.
+    tw: (log_n, n) Gl twiddle table; masks: (log_n, n) uint32 even-slot mask.
+    roll_fn(arr, shift) rolls along axis 0 (jnp.roll outside Pallas,
+    pltpu.roll inside)."""
+    tw_lo, tw_hi = tw
+    lo, hi = x
+    for s in range(log_n):
+        h = 1 << s
+        t = gl_mul((lo, hi), (tw_lo[s][:, None], tw_hi[s][:, None]))
+        td = (roll_fn(t[0], -h), roll_fn(t[1], -h))
+        xs = (roll_fn(lo, h), roll_fn(hi, h))
+        e = gl_add((lo, hi), td)
+        o = gl_sub(xs, t)
+        # minor-dim insertion on the u32 mask BEFORE the compare: Mosaic only
+        # supports that reshape for 32-bit types, not i1
+        m = masks[s][:, None] != 0
+        lo = jnp.where(m, e[0], o[0])
+        hi = jnp.where(m, e[1], o[1])
+    return lo, hi
+
+
+def _pallas_ntt_kernel(log_n: int, n_inv: int | None):
+    """Kernel body factory: all stages on one (n, C_TILE) VMEM block."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(xlo_ref, xhi_ref, twlo_ref, twhi_ref, mask_ref, olo_ref, ohi_ref):
+        def roll_fn(a, shift):
+            # pltpu.roll follows jnp.roll semantics; shift must be non-negative
+            return pltpu.roll(a, shift % a.shape[0], axis=0)
+
+        lo, hi = _roll_stages(
+            (xlo_ref[:], xhi_ref[:]),
+            log_n,
+            (twlo_ref[:], twhi_ref[:]),
+            mask_ref[:],
+            roll_fn,
+        )
+        if n_inv is not None:
+            sc = gf64.full((), n_inv)
+            lo, hi = gl_mul((lo, hi), (sc[0][None, None], sc[1][None, None]))
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    return kernel
+
+
+def ntt_cols_pallas(
+    x: Gl, inverse: bool = False, c_tile: int = 128, interpret: bool = False
+) -> Gl:
+    """ntt_cols with every butterfly stage fused into one Pallas kernel: the
+    whole transform touches HBM twice (plus the bit-reversal gather) instead
+    of twice per stage. Bit-exact with ntt_cols."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = x[0].shape
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    c_tile = min(c_tile, c)
+    assert c % c_tile == 0, (c, c_tile)
+    rev = jnp.asarray(bitrev_indices(log_n))
+    xlo = jnp.take(x[0], rev, axis=0)
+    xhi = jnp.take(x[1], rev, axis=0)
+    n_inv = gold.inv(n % P) if inverse else None
+    tw_lo, tw_hi = gf64.from_u64(_stage_tw_table(log_n, inverse))
+    mask = jnp.asarray(_stage_even_mask(log_n).astype(np.uint32))
+    kernel = _pallas_ntt_kernel(log_n, n_inv)
+    spec = pl.BlockSpec((n, c_tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((log_n, n), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(c // c_tile,),
+        in_specs=[spec, spec, tab, tab, tab],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.uint32),
+            jax.ShapeDtypeStruct((n, c), jnp.uint32),
+        ],
+        interpret=interpret,
+        # the unrolled stage chain keeps ~14 (n, c_tile) u32 temporaries live;
+        # the default 16 MB scoped-vmem cap is too tight at c_tile=128
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xlo, xhi, tw_lo, tw_hi, mask)
+    return out_lo, out_hi
+
+
+def ntt_four_step_pallas(x: Gl, inverse: bool = False, interpret: bool = False) -> Gl:
+    """Four-step single-poly NTT with both column-transform passes fused into
+    Pallas kernels (bit-exact with ntt_four_step)."""
+    n = x[0].shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = 1 << (log_n - log_n1)
+
+    mat = (x[0].reshape(n1, n2), x[1].reshape(n1, n2))
+    mat = ntt_cols_pallas(mat, inverse, interpret=interpret)
+    tw = gf64.from_u64(_four_step_twiddles(log_n, inverse))
+    mat = gl_mul(mat, tw)
+    mat = (mat[0].T, mat[1].T)
+    mat = ntt_cols_pallas(mat, inverse, interpret=interpret)
+    return mat[0].reshape(n), mat[1].reshape(n)
+
+
 def coset_scale(x: Gl, shift: int, inverse: bool = False) -> Gl:
     """Multiply row i by shift^i (shift^-i when inverse)."""
     n = x[0].shape[0]

@@ -88,6 +88,31 @@ class SkipAir(Air):
         return cs
 
 
+class StepAir(Air):
+    """Consensus arithmetic of the step relation (SURVEY.md §2.2 C13), one
+    validator of the NEW set per row: p (power), b (signed bit), a (signed
+    acc), t (total acc). Publics: [0] signed, [1] total, then 8 u32 words
+    each of prev_root and new_root, then prev_height, new_height (20)."""
+
+    n_cols = 4
+    max_degree = 2
+    N_PUBLICS = 20
+
+    def eval_constraints(self, local, nxt, publics, alg, **frame):
+        p, b, a, t = local
+        p_n, b_n, a_n, t_n = nxt
+        one = alg.const(1)
+        return [
+            (alg.mul(b, alg.sub(b, one)), "all"),
+            (alg.sub(a, alg.mul(b, p)), "first"),
+            (alg.sub(t, p), "first"),
+            (alg.sub(a_n, alg.add(a, alg.mul(b_n, p_n))), "transition"),
+            (alg.sub(t_n, alg.add(t, p_n)), "transition"),
+            (alg.sub(a, publics[0]), "last"),
+            (alg.sub(t, publics[1]), "last"),
+        ]
+
+
 def _pack_bytes32(b: bytes) -> list[int]:
     return [int.from_bytes(b[i : i + 4], "big") for i in range(0, 32, 4)]
 
@@ -214,6 +239,91 @@ def prove_skip(
         timing=timing.render(),
         sha_stark=sha_proof,
     )
+
+
+@dataclass
+class StepProof:
+    outputs: "object"  # StepPublicOutputs
+    publics: list[int]
+    n_rows: int
+    stark: stark.StarkProof
+    timing: str
+
+
+def step_publics(res: StepCheckResult) -> list[int]:
+    out = res.outputs
+    return (
+        [res.signed_power, res.total_power]
+        + _pack_bytes32(out.prev_root)
+        + _pack_bytes32(out.new_root)
+        + [out.prev_height, out.new_height]
+    )
+
+
+def build_step_trace(res: StepCheckResult) -> np.ndarray:
+    n = max(len(res.powers), 2)
+    n = 1 << (n - 1).bit_length()
+    p = np.zeros(n, dtype=np.uint64)
+    b = np.zeros(n, dtype=np.uint64)
+    p[: len(res.powers)] = res.powers
+    b[: len(res.signed)] = res.signed.astype(np.uint64)
+    acc = np.cumsum((p * b).astype(object))
+    tot = np.cumsum(p.astype(object))
+    return np.stack(
+        [
+            p,
+            b,
+            np.array([int(x) % P for x in acc], np.uint64),
+            np.array([int(x) % P for x in tot], np.uint64),
+        ],
+        axis=1,
+    )
+
+
+def prove_step(witness, config: StarkConfig | None = None) -> StepProof:
+    """The step workload pipeline (header h -> h+1): device consensus checks,
+    then the DEEP-ALI STARK over StepAir."""
+    config = config or StarkConfig()
+    timing = TimingTree("prove_step")
+    with timing.scope("consensus"):
+        res = verify_step(witness)
+    if not res.ok:
+        raise ValueError(f"step relation unsatisfied: {res.reasons}")
+    with timing.scope("trace"):
+        trace = build_step_trace(res)
+        publics = step_publics(res)
+    with timing.scope("stark", items=trace.shape[0], unit="rows"):
+        proof = stark.prove(StepAir(), trace, publics, config)
+    timing.finish()
+    return StepProof(
+        outputs=res.outputs,
+        publics=publics,
+        n_rows=trace.shape[0],
+        stark=proof,
+        timing=timing.render(),
+    )
+
+
+def verify_step_proof(proof: StepProof, config: StarkConfig | None = None) -> bool:
+    """Host verifier for a step proof: >2/3 threshold over the public sums,
+    public consistency with the claimed outputs, and the STARK."""
+    config = config or StarkConfig()
+    pub = proof.publics
+    if len(pub) != StepAir.N_PUBLICS:
+        return False
+    signed, total = pub[:2]
+    if not signed * 3 > total * 2:
+        return False
+    out = proof.outputs
+    if pub[2:10] != _pack_bytes32(out.prev_root):
+        return False
+    if pub[10:18] != _pack_bytes32(out.new_root):
+        return False
+    if pub[18:] != [out.prev_height, out.new_height]:
+        return False
+    if out.new_height != out.prev_height + 1:
+        return False
+    return stark.verify(StepAir(), proof.stark, pub, config, proof.n_rows)
 
 
 def verify_skip_proof(

@@ -110,6 +110,31 @@ def _domain_table(log_n_ext: int, shift: int) -> np.ndarray:
     return out
 
 
+def _batch_inv(vals: list[int]) -> list[int]:
+    """Montgomery batch inversion: one modular inverse + 3(n-1) muls."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = (prefix[i] * v) % P
+    inv_all = gold.inv(prefix[n])
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = (prefix[i] * inv_all) % P
+        inv_all = (inv_all * vals[i]) % P
+    return out
+
+
+@lru_cache(maxsize=None)
+def _point_inv_table(log_n_ext: int, shift: int, point: int) -> np.ndarray:
+    """1/(x_i - point) over the extended domain (host, batch-inverted).
+    Used for the 'first' (point=1) and 'last' (point=g^{n-1}) divisors —
+    keeping these static tables off the device removes two unrolled
+    exponentiation-based inversions from the quotient graph."""
+    xs = _domain_table(log_n_ext, shift)
+    vals = [int(x - point) % P for x in xs.tolist()]
+    return np.array(_batch_inv(vals), dtype=np.uint64)
+
+
 @lru_cache(maxsize=None)
 def _zh_inv_table(log_n: int, rate_bits: int, shift: int) -> np.ndarray:
     """1/Z_H(x_i) over the extended domain. Z_H(x) = x^n - 1 is periodic with
@@ -328,9 +353,9 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
         if "transition" in acc:
             inv_by_kind["transition"] = gl_mul(zh_inv, x_minus_last)
         if "first" in acc:
-            inv_by_kind["first"] = gf64.gl_inv(gl_sub(x_tab, gf64.full((n_ext,), 1)))
+            inv_by_kind["first"] = gf64.from_u64(_point_inv_table(log_n_ext, shift, 1))
         if "last" in acc:
-            inv_by_kind["last"] = gf64.gl_inv(x_minus_last)
+            inv_by_kind["last"] = gf64.from_u64(_point_inv_table(log_n_ext, shift, g_last))
 
         q = None
         for kind, v in acc.items():
@@ -457,10 +482,19 @@ def prove(
     config: StarkConfig,
     shift: int = gold.COSET_SHIFT,
     aux=None,
+    mesh=None,
 ) -> StarkProof:
     """trace: (n_rows, n_cols) uint64 execution trace (rows over the subgroup
     H of order n_rows, natural order). aux: post-commit claims for AIRs with
-    sample_challenges (observed into the transcript before sampling)."""
+    sample_challenges (observed into the transcript before sampling).
+
+    mesh: optional jax.sharding.Mesh — the multi-chip path (SURVEY.md §2.2
+    C11's TPU equivalent: data-parallel sharding within one pjit program, no
+    proof recursion). The evaluation domain (row) axis is sharded across the
+    mesh; GSPMD partitions every phase — constraint evaluation, Merkle leaf
+    hashing and DEEP composition are perfectly row-parallel, NTT stages wider
+    than a shard become collective permutes over ICI. Bit-exact with the
+    single-chip path (integer ops; reduction trees are data-independent)."""
     n, n_cols = trace.shape
     assert n & (n - 1) == 0
     assert n_cols == air.n_cols
@@ -476,6 +510,14 @@ def prove(
 
     trace_gl = gf64.from_u64(trace)
     fixed_lde = _fixed_lde_cached(air.cache_key(), air, n, config.rate_bits, shift)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from blobstreamx_tpu.parallel.mesh import AXIS
+
+        rows = NamedSharding(mesh, PartitionSpec(AXIS, None))
+        trace_gl = jax.device_put(trace_gl, rows)
+        fixed_lde = jax.device_put(fixed_lde, rows)
     f_commit, f_quotient, f_openings, f_deep = _phases(
         air.cache_key(), air, n, len(publics), air.n_challenges, config, shift
     )
@@ -495,6 +537,8 @@ def prove(
         s2 = air.build_stage2(trace, chals, aux)
         assert s2.shape == (n, n_s2)
         s2_gl = gf64.from_u64(np.asarray(s2, np.uint64) % P)
+        if mesh is not None:
+            s2_gl = jax.device_put(s2_gl, rows)
         s2_coeffs, s2_lde, s2_layers = f_commit(s2_gl)
         s2_tree = _as_tree(s2_layers, ch)
         s2_cap = merkle_ops.cap_to_ints(s2_tree)

@@ -18,10 +18,22 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import hashlib
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: the suite re-jits many identical programs
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# Persistent compile cache: the suite re-jits many identical programs.
+# Key the directory by the host's CPU feature set — XLA:CPU stores AOT
+# machine code, and entries compiled on a different machine are rejected
+# with per-load errors (observed when the workspace migrates between hosts),
+# re-paying every compile while spamming the log.
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((l for l in f if l.startswith("flags")), "")
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+except OSError:
+    _fp = "nofp"
+jax.config.update("jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

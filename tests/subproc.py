@@ -1,0 +1,52 @@
+"""Run compile-heavy prover roundtrips in a SINGLE-device CPU subprocess.
+
+The suite's conftest configures 8 virtual CPU devices for collective tests,
+which splits XLA:CPU's compile/execute thread pools and makes the big STARK
+quotient compiles ~10x slower (measured: the 1300-column SHA AIR quotient
+compiles in ~160 s on one device, >30 min under the 8-device config). Tests
+that only need one device therefore shell out with a scrubbed environment;
+the persistent compile cache (machine-fingerprinted, shared with conftest's
+convention) makes repeat runs fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+
+
+def _fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        return "nofp"
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+def run_py(code: str, timeout: int = 2400) -> None:
+    """Execute `code` with python in a 1-device CPU JAX environment; raises
+    on nonzero exit with the captured output."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split() if "xla_force_host_platform_device_count" not in f
+    )
+    env["JAX_COMPILATION_CACHE_DIR"] = f"/root/.cache/jax_test_cache_{_fingerprint()}_1dev"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.3"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if proc.returncode != 0:
+        raise AssertionError(
+            f"subprocess failed (exit {proc.returncode})\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n--- stderr ---\n{proc.stderr[-4000:]}"
+        )

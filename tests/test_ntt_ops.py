@@ -67,3 +67,32 @@ class TestFourStep:
         fwd = dev.ntt_four_step(gf64.from_u64(x))
         back = gf64.to_u64(dev.ntt_four_step(fwd, inverse=True))
         np.testing.assert_array_equal(back, x)
+
+
+class TestPallasFused:
+    """Roll-formulated fused-stage kernel (ops.ntt.ntt_cols_pallas): bit-exact
+    vs ntt_cols. Interpret mode on CPU; the same kernel compiles on TPU (the
+    bench harness cross-checks it on real silicon)."""
+
+    @pytest.mark.parametrize("log_n", [3, 6, 9])
+    def test_matches_ntt_cols(self, log_n):
+        rng = np.random.default_rng(60 + log_n)
+        n = 1 << log_n
+        x = rng.integers(0, gl.P, size=(n, 128), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_cols(enc_cols(x)))
+        got = gf64.to_u64(dev.ntt_cols_pallas(enc_cols(x), interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_inverse_matches(self):
+        rng = np.random.default_rng(70)
+        x = rng.integers(0, gl.P, size=(64, 128), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_cols(enc_cols(x), inverse=True))
+        got = gf64.to_u64(dev.ntt_cols_pallas(enc_cols(x), inverse=True, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_four_step_pallas(self):
+        rng = np.random.default_rng(71)
+        x = rng.integers(0, gl.P, size=(1 << 10,), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_four_step(gf64.from_u64(x)))
+        got = gf64.to_u64(dev.ntt_four_step_pallas(gf64.from_u64(x), interpret=True))
+        np.testing.assert_array_equal(got, want)
