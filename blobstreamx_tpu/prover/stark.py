@@ -295,6 +295,27 @@ def _combine_alpha_device(constraints, alpha, alg: "DeviceAlgebra"):
 
 
 @lru_cache(maxsize=None)
+def _quotient_commit_fn(n: int, config: StarkConfig, shift: int, ch: int):
+    """AIR-generic quotient commit: INTT over the extended domain, split into
+    2^rate degree-n chunks, LDE, Poseidon tree. Cached per shape so every AIR
+    with the same (n, config) reuses one compiled program."""
+    blowup = config.blowup()
+
+    @jax.jit
+    def commit(q_cols):
+        q_coeffs = ntt_ops.coset_intt_cols(q_cols, shift)  # (n_ext, 2)
+        # chunk k, component c -> column 2k + c
+        ch_lo = q_coeffs[0].reshape(blowup, n, 2).transpose(1, 0, 2).reshape(n, 2 * blowup)
+        ch_hi = q_coeffs[1].reshape(blowup, n, 2).transpose(1, 0, 2).reshape(n, 2 * blowup)
+        q_chunk_coeffs = (ch_lo, ch_hi)
+        q_lde = ntt_ops.lde_cols(q_chunk_coeffs, config.rate_bits, shift)
+        layers = _tree_layers((q_lde[0].T, q_lde[1].T), ch)
+        return q_chunk_coeffs, q_lde, layers
+
+    return commit
+
+
+@lru_cache(maxsize=None)
 def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig, shift: int):
     n_cols = air.n_cols
     blowup = config.blowup()
@@ -315,8 +336,13 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
     n_fixed = air.n_fixed
     n_s2 = air.n_stage2
 
+    # The quotient is split into two jitted programs: the AIR-specific
+    # constraint evaluation + divisor division, and the AIR-GENERIC commit
+    # (INTT, chunking, LDE, tree). Two smaller compiles beat one big one
+    # (XLA compile time is superlinear in graph size) and the commit half is
+    # shared by every AIR with the same (n, config).
     @jax.jit
-    def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+    def quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
         def frame(lde, k):
             cur = [(lde[0][:, j], lde[1][:, j]) for j in range(k)]
             nlo = jnp.roll(lde[0], -blowup, axis=0)
@@ -362,19 +388,16 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
             inv_d = inv_by_kind[kind]
             term = (gl_mul(v[0], inv_d), gl_mul(v[1], inv_d))
             q = gf64.ext_add(q, term) if q is not None else term
-
-        q_cols = (
+        return (
             jnp.stack([q[0][0], q[1][0]], axis=1),
             jnp.stack([q[0][1], q[1][1]], axis=1),
         )
-        q_coeffs = ntt_ops.coset_intt_cols(q_cols, shift)  # (n_ext, 2)
-        # chunk k, component c -> column 2k + c
-        ch_lo = q_coeffs[0].reshape(blowup, n, 2).transpose(1, 0, 2).reshape(n, 2 * blowup)
-        ch_hi = q_coeffs[1].reshape(blowup, n, 2).transpose(1, 0, 2).reshape(n, 2 * blowup)
-        q_chunk_coeffs = (ch_lo, ch_hi)
-        q_lde = ntt_ops.lde_cols(q_chunk_coeffs, config.rate_bits, shift)
-        layers = _tree_layers((q_lde[0].T, q_lde[1].T), ch)
-        return q_chunk_coeffs, q_lde, layers
+
+    q_commit = _quotient_commit_fn(n, config, shift, ch)
+
+    def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+        q_cols = quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl)
+        return q_commit(q_cols)
 
     @jax.jit
     def openings(trace_coeffs, s2_coeffs, q_chunk_coeffs, zeta, g_zeta):
