@@ -12,6 +12,7 @@ Golden oracle: blobstreamx_tpu.golden.ed25519.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,7 +101,10 @@ def decompress(encoded: np.ndarray):
     """encoded: (32, N) uint8 little-endian point encodings (host numpy).
 
     Returns (Point, valid_mask). Invalid lanes decode to the identity with
-    valid=False.
+    valid=False. The device part runs as ONE jitted program — the sqrt
+    exponentiation chain is ~250 ops, and dispatching them one by one costs
+    seconds per call on a tunneled backend (measured: 26 s warm for N=32
+    unjitted vs milliseconds jitted).
     """
     n = encoded.shape[1]
     sign = (encoded[31] >> 7).astype(np.uint32)
@@ -110,9 +114,12 @@ def decompress(encoded: np.ndarray):
     y_limbs = np.zeros((16, n), dtype=np.uint32)
     for i in range(16):
         y_limbs[i] = enc[2 * i].astype(np.uint32) | (enc[2 * i + 1].astype(np.uint32) << 8)
-    y = jnp.asarray(y_limbs)
-    sign = jnp.asarray(sign)
+    return _decompress_device(jnp.asarray(y_limbs), jnp.asarray(sign))
 
+
+@jax.jit
+def _decompress_device(y, sign):
+    n = y.shape[1]
     one = f.full(n, 1)
     y2 = f.mul(y, y)
     u = f.sub(y2, one)  # y^2 - 1
@@ -125,7 +132,6 @@ def decompress(encoded: np.ndarray):
     x = f.select(needs_sqrtm1, x_alt, x)
     valid = f.eq(f.mul(x, x), x2)
     # y must be < p for a canonical encoding
-    y_canon = f.eq(y, f.canonicalize(y))
     valid = valid & jnp.all(y == f.canonicalize(y), axis=0)
 
     x_can = f.canonicalize(x)

@@ -21,8 +21,13 @@ import hashlib
 
 import numpy as np
 
+import jax
+
 from blobstreamx_tpu.golden import ed25519 as gold
 from blobstreamx_tpu.ops import curve25519 as curve, msm as msm_ops
+
+# module-level jit: an inline jax.jit(...) per call would recompile each time
+_is_identity_jit = jax.jit(curve.is_identity)
 
 L = gold.L
 
@@ -62,7 +67,10 @@ def prepare_batch(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None 
         s = int.from_bytes(sig[32:], "little")
         if s >= L:
             return None
-        h = int.from_bytes(gold.sha512(sig[:32] + pk + msg), "little") % L
+        # hashlib, not the golden pure-python SHA-512: this is the production
+        # host path (the golden model is the device kernel's oracle; here it
+        # cost ~100 ms/signature -- 25 s of a 27 s batch-prepare)
+        h = int.from_bytes(hashlib.sha512(sig[:32] + pk + msg).digest(), "little") % L
         z_r.append(z % L)
         z_a.append(z * h % L)
         s_sum = (s_sum + z * s) % L
@@ -97,5 +105,5 @@ def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None =
     if n_invalid:
         return False, {"reason": "invalid point encoding"}
     result = msm_ops.msm_jit(points, digits)
-    ok = bool(np.asarray(curve.is_identity(result))[0])
+    ok = bool(np.asarray(_is_identity_jit(result))[0])
     return ok, {"n": len(items), "msm_points": digits.shape[1]}

@@ -33,18 +33,20 @@ def tuple_tree_messages(heights: list[int], data_hashes: list[bytes]) -> tuple[l
     leaves = [gmerkle.data_root_tuple(h, d) for h, d in zip(heights, data_hashes)]
     messages: list[bytes] = []
 
+    from blobstreamx_tpu import native
+
     def walk(lo: int, hi: int) -> bytes:
         n = hi - lo
         if n == 1:
             msg = LEAF_PREFIX + leaves[lo]
             messages.append(msg)
-            return gsha.sha256(msg)
+            return native.sha256(msg)  # C runtime; golden fallback
         k = gmerkle._split_point(n)
         left = walk(lo, lo + k)
         right = walk(lo + k, hi)
         msg = INNER_PREFIX + left + right
         messages.append(msg)
-        return gsha.sha256(msg)
+        return native.sha256(msg)
 
     root = walk(0, len(leaves))
     return messages, root
