@@ -127,6 +127,21 @@ class DeviceAlgebra:
         w = gf64.from_u64(np.array([v % gold.P for v in values], np.uint64))
         return (w[0][None, :], w[1][None, :])
 
+    def pad_cols(self, m, left: int, right: int):
+        """Pad an (n, k) matrix with zero columns on either side."""
+        import jax.numpy as jnp
+
+        return tuple(jnp.pad(c, ((0, 0), (left, right))) for c in m)
+
+    def concat_cols(self, *ms):
+        """Concatenate matrices along the column axis."""
+        import jax.numpy as jnp
+
+        return (
+            jnp.concatenate([m[0] for m in ms], axis=1),
+            jnp.concatenate([m[1] for m in ms], axis=1),
+        )
+
 
 class HostExtAlgebra:
     """GF(p^2) arithmetic on (c0, c1) python-int pairs (verifier at zeta).
@@ -184,6 +199,15 @@ class HostExtAlgebra:
 
     def const_row(self, values: list[int]):
         return [(v % gold.P, 0) for v in values]
+
+    def pad_cols(self, m, left: int, right: int):
+        return [(0, 0)] * left + list(m) + [(0, 0)] * right
+
+    def concat_cols(self, *ms):
+        out = []
+        for m in ms:
+            out += list(m) if isinstance(m, list) else [m]
+        return out
 
 
 class Air:

@@ -113,6 +113,23 @@ class MulWitness:
 N_MUL_WITNESS = N_LIMBS + N_QLIMBS + 2 * N_CARRY  # 99
 
 
+def _conv_elems_mat(alg, elems, mat, out_width: int):
+    """Matrix-form convolution sum_i pad(elems[i] * mat, i) -> (n, out_width).
+
+    elems: list of algebra elements; mat: width-w matrix (or const row).
+    Equivalent to the limb convolution conv_k(elems, mat) for k < out_width,
+    but built from O(len) broadcast ops instead of O(len^2) scalar ops —
+    the quotient graph stays small enough for one-shot XLA compiles even
+    with 9 multiplications per trace row (docs/ed25519_stark.md)."""
+    w = alg.width(mat)
+    acc = None
+    for i, e in enumerate(elems):
+        term = alg.mul(alg.colv(e), mat)
+        term = alg.pad_cols(term, i, out_width - i - w)
+        acc = term if acc is None else alg.add(acc, term)
+    return acc
+
+
 def eval_mul_constraints(alg, a, b, witness):
     """Degree-2 constraint values (kind 'all') for one multiplication.
 
@@ -126,33 +143,20 @@ def eval_mul_constraints(alg, a, b, witness):
     ch = witness[N_LIMBS + N_QLIMBS + N_CARRY :]
 
     two16 = 1 << 16
-    limb_eqs = []
-    r_prev = None
-    for k in range(N_CARRY):
-        t = None
-        for i in range(N_LIMBS):
-            j = k - i
-            if 0 <= j < N_LIMBS:
-                term = alg.mul(a[i], b[j])
-                t = term if t is None else alg.add(t, term)
-        if t is None:
-            t = alg.const(0)
-        for i in range(N_QLIMBS):
-            j = k - i
-            if 0 <= j < N_LIMBS and Q_LIMBS[j]:
-                t = alg.sub(t, alg.mul(q[i], alg.const(Q_LIMBS[j])))
-        t = alg.add(t, alg.const(OFFCONST[k]))
-        if k < N_LIMBS:
-            t = alg.sub(t, c[k])
-        if r_prev is not None:
-            t = alg.add(t, r_prev)
-        r_k = alg.sub(
-            alg.add(cl[k], alg.mul(ch[k], alg.const(two16))), alg.const(CARRY_OFFSET)
-        )
-        limb_eqs.append(alg.sub(t, alg.mul(r_k, alg.const(two16))))
-        r_prev = r_k
-    limb_eqs.append(r_prev)
-    return [(alg.stack(limb_eqs), "all")]
+    # carry values r_k = cl_k + 2^16 ch_k - 2^31 as elements (r[32] closes)
+    r = [
+        alg.sub(alg.add(cl[k], alg.mul(ch[k], alg.const(two16))), alg.const(CARRY_OFFSET))
+        for k in range(N_CARRY)
+    ]
+    conv_ab = _conv_elems_mat(alg, a, alg.stack(b), N_CARRY)
+    conv_qq = _conv_elems_mat(alg, q, alg.const_row(Q_LIMBS), N_CARRY)
+    c_mat = alg.pad_cols(alg.stack(c), 0, N_CARRY - N_LIMBS)
+    r_mat = alg.stack(r)
+    r_prev = alg.stack([alg.const(0)] + r[: N_CARRY - 1])
+    t = alg.add(alg.sub(conv_ab, conv_qq), alg.const_row(OFFCONST))
+    t = alg.add(alg.sub(t, c_mat), r_prev)
+    resid = alg.sub(t, alg.scale_row(r_mat, [two16] * N_CARRY))
+    return [(alg.concat_cols(resid, alg.colv(r[N_CARRY - 1])), "all")]
 
 
 # ----------------------------------------------------------------------------

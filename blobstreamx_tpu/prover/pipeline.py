@@ -162,9 +162,25 @@ class SkipProof:
     # optional batched-SHA STARK proving every hash of the data-commitment
     # tuple tree (prover.sha_claims; the Curta-analog path)
     sha_stark: object | None = None
+    # optional Ed25519 scalar-mul STARK proving the signature batch equation
+    # (prover.ed_claims; the Curta-analog of upstream's in-STARK Ed25519)
+    ed_stark: object | None = None
 
 
-PHASES = ["consensus", "trace", "stark", "sha_stark"]
+PHASES = ["consensus", "trace", "stark", "sha_stark", "ed_stark"]
+
+
+def signature_items(witness: SkipWitness) -> list[tuple[bytes, bytes, bytes]]:
+    """The (pubkey, message, signature) triples of the target commit's
+    claimed signers — the batch both the device MSM and the Ed25519 STARK
+    verify (same construction as circuits.skip.verify_skip)."""
+    return [
+        (pk, witness.sign_bytes, sig)
+        for pk, sig, s in zip(
+            witness.target_set.pubkeys, witness.signatures, witness.target_signed
+        )
+        if s
+    ]
 
 
 def prove_skip(
@@ -174,11 +190,14 @@ def prove_skip(
     metrics: MetricsWriter | None = None,
     checkpoint_dir: str | None = None,
     with_sha_stark: bool = False,
+    with_ed_stark: bool = False,
 ) -> SkipProof:
     """Full config-5 pipeline. Raises ValueError (fail-stop, SURVEY.md §5.3)
     if the witness does not satisfy the skip relation. with_sha_stark=True
     additionally proves the data-commitment tuple tree's hashes in the
-    batched SHA-256 STARK instead of trusting device recomputation."""
+    batched SHA-256 STARK instead of trusting device recomputation;
+    with_ed_stark=True likewise proves the signature batch equation in the
+    Ed25519 scalar-mul STARK (prover.ed_claims)."""
     config = config or StarkConfig()
     metrics = metrics or MetricsWriter(None)
     ckpt = PhaseCheckpointer(checkpoint_dir, metrics.run_id)
@@ -224,6 +243,15 @@ def prove_skip(
             raise ValueError("sha-stark root mismatch vs device data commitment")
     ckpt.save("sha_stark", scalars={"done": 1})
 
+    ed_proof = None
+    if with_ed_stark:
+        from blobstreamx_tpu.prover import ed_claims
+
+        items = signature_items(witness)
+        with timing.scope("ed_stark", items=len(items), unit="signatures"):
+            ed_proof = ed_claims.prove_batch_stark(items, config=config, mesh=mesh)
+    ckpt.save("ed_stark", scalars={"done": 1})
+
     timing.finish()
     metrics.emit_timing(
         timing,
@@ -238,6 +266,7 @@ def prove_skip(
         stark=proof,
         timing=timing.render(),
         sha_stark=sha_proof,
+        ed_stark=ed_proof,
     )
 
 
@@ -331,12 +360,16 @@ def verify_skip_proof(
     config: StarkConfig | None = None,
     range_heights: list[int] | None = None,
     range_data_hashes: list[bytes] | None = None,
+    sign_items: list[tuple[bytes, bytes, bytes]] | None = None,
 ) -> bool:
     """Host verifier: STARK transcript + threshold inequalities + public
     consistency (roots/heights/commitment are bound by the transcript).
     When the proof carries a sha_stark and the verifier supplies the claimed
     range (heights, data_hashes), the data commitment's hash tree is checked
-    against the batched SHA-256 STARK as well."""
+    against the batched SHA-256 STARK as well; when it carries an ed_stark
+    and the verifier supplies the claimed (pubkey, message, signature)
+    triples, the signature batch equation is checked against the Ed25519
+    scalar-mul STARK (the verifier performs no scalar multiplications)."""
     config = config or StarkConfig()
     pub = proof.publics
     if len(pub) != SkipAir.N_PUBLICS:
@@ -367,5 +400,10 @@ def verify_skip_proof(
             out.data_commitment,
             config,
         ):
+            return False
+    if proof.ed_stark is not None and sign_items is not None:
+        from blobstreamx_tpu.prover import ed_claims
+
+        if not ed_claims.verify_batch_stark(proof.ed_stark, sign_items, config=config):
             return False
     return True

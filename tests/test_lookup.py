@@ -72,6 +72,53 @@ class TestLogUp:
         with pytest.raises(AssertionError):
             stark.prove(RangeAir(), trace, [], CFG)
 
+    def test_multi_table_builder_and_vanishing(self):
+        """Multi-column-table generalization: 8-bit range table spread over
+        nt = 256/n fixed columns; stage-2 closes and the matrix constraints
+        vanish on the plain domain."""
+        from blobstreamx_tpu.fields import gf64
+        from blobstreamx_tpu.prover.air import DeviceAlgebra
+
+        n, k, bits = 32, 5, 8
+        rng = np.random.default_rng(7)
+        values = rng.integers(0, 1 << bits, size=(n, k), dtype=np.uint64)
+        table = lookup.range_table_columns(n, bits)
+        nt = table.shape[1]
+        assert nt == (1 << bits) // n
+        mult = lookup.multiplicities_multi(values, table)
+        assert int(mult.sum()) == n * k
+        beta = 0x1234567
+        s2 = lookup.build_logup_stage2_multi(values, mult, table, beta)
+        assert s2.shape == (n, k + nt + 1)
+        assert int(s2[-1, -1]) == 0
+
+        import jax.numpy as jnp
+
+        def mat(x):
+            g = gf64.from_u64(x % np.uint64(P))
+            return g, (jnp.roll(g[0], -1, 0), jnp.roll(g[1], -1, 0))
+
+        alg = DeviceAlgebra((n,))
+        vm, vmn = mat(values)
+        mm, mmn = mat(mult)
+        tm, tmn = mat(table)
+        s2m, s2mn = mat(s2)
+        cols = lambda m: [(m[0][:, j], m[1][:, j]) for j in range(m[0].shape[1])]
+        beta_el = (jnp.full((1,), beta, jnp.uint32) & 0, jnp.zeros((1,), jnp.uint32))
+        beta_el = tuple(
+            c[0:1] for c in gf64.from_u64(np.array([beta], np.uint64))
+        )
+        cs = lookup.eval_logup_multi(
+            alg, beta_el, vm, mm, tm, vmn, mmn, tmn, cols(s2m), cols(s2mn), k, nt
+        )
+        for idx, (v, kind) in enumerate(cs):
+            arr = np.asarray(gf64.to_u64(v))
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            sl = {"all": slice(None), "transition": slice(0, n - 1),
+                  "first": slice(0, 1), "last": slice(n - 1, n)}[kind]
+            assert not arr[sl].any(), f"constraint {idx} ({kind}) nonzero"
+
     def test_forged_multiplicity_rejected(self):
         """Lie about multiplicities instead: build a trace where m claims a
         different multiset. build_stage2's closing assert fires — and if a
