@@ -1,10 +1,18 @@
 #!/usr/bin/env python
-"""Measure the BASELINE.md config ladder on the locally visible accelerator
-(configs 1-4; config 5's full-scale run needs a pod slice). Prints one JSON
-line per config; paste results into BASELINE.md."""
+"""Measure the BASELINE.md config ladder on the locally visible accelerator.
+Prints one JSON line per config; paste results into BASELINE.md.
+
+Usage: python benches/configs.py [config ...]     default: 1 2 3 4
+       python benches/configs.py 5 --headers 1024 --validators 32
+
+Config 5 (full skip prove) runs at fixture scale by default; pass --headers
+1024 for the BASELINE.json:11 shape (fixture generation signs only the
+target commit, so host setup stays O(headers) SHA-256 work).
+"""
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -28,85 +36,166 @@ def _time(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def main() -> None:
-    import jax
+def config1():
     import numpy as np
 
-    from blobstreamx_tpu.fields import gf64
-    from blobstreamx_tpu.golden import goldilocks as gl, merkle as gmerkle
-    from blobstreamx_tpu.ops import ntt as ntt_ops, poseidon as pos
     from blobstreamx_tpu.circuits.data_commitment import data_commitment_device
+    from blobstreamx_tpu.golden import merkle as gmerkle
 
-    backend = jax.default_backend()
     rng = np.random.default_rng(0)
-
-    # config 1: 64-leaf tuple root, bit-exact (correctness gate + wall clock)
     heights = list(range(1, 65))
     hashes = [bytes(rng.integers(0, 256, 32, dtype=np.uint8)) for _ in range(64)]
     t0 = time.perf_counter()
     root = data_commitment_device(heights, hashes)
-    dt1 = time.perf_counter() - t0
+    dt = time.perf_counter() - t0
     ok = root == gmerkle.data_commitment(heights, hashes)
-    print(json.dumps({"config": 1, "bit_exact": bool(ok), "wall_s": dt1, "backend": backend}))
+    return {"config": 1, "bit_exact": bool(ok), "wall_s": dt}
 
-    # config 2: 2^16 Poseidon permutations, batched, bit-exact digests
+
+def config2():
+    import jax
+    import numpy as np
+
+    from blobstreamx_tpu.fields import gf64
+    from blobstreamx_tpu.golden import goldilocks as gl
+    from blobstreamx_tpu.ops import poseidon as pos
+
     n = 1 << 16
-    states = gf64.from_u64(rng.integers(0, gl.P, size=(12, n), dtype=np.uint64))
-    states = jax.device_put(states)
-    f = jax.jit(pos.permute)
-    dt2 = _time(f, states, iters=10)
-    print(
-        json.dumps(
-            {"config": 2, "hashes_per_s": n / dt2, "wall_s": dt2, "backend": backend}
-        )
+    rng = np.random.default_rng(0)
+    states = jax.device_put(
+        gf64.from_u64(rng.integers(0, gl.P, size=(12, n), dtype=np.uint64))
     )
+    dt = _time(jax.jit(pos.permute), states, iters=10)
+    best = {"path": "xla", "wall_s": dt}
+    try:
+        dtp = _time(jax.jit(pos.permute_pallas), states, iters=10)
+        if dtp < dt:
+            best = {"path": "pallas", "wall_s": dtp}
+    except Exception:
+        pass
+    return {
+        "config": 2,
+        "hashes_per_s": n / best["wall_s"],
+        **best,
+    }
 
-    # config 3: Ed25519 batch verify, 256 signatures
+
+def config3():
+    import numpy as np
+
     from blobstreamx_tpu.golden import ed25519 as ged
     from blobstreamx_tpu.ops import ed25519 as ed_ops
 
+    rng = np.random.default_rng(0)
     items = []
     for i in range(256):
         sk = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
         msg = b"bench-%d" % i
-        pk = ged.public_key(sk)
-        sig = ged.sign(sk, msg)
-        items.append((pk, msg, sig))
+        items.append((ged.public_key(sk), msg, ged.sign(sk, msg)))
+    ok = ed_ops.batch_verify(items)  # cold (compiles)
     t0 = time.perf_counter()
-    ok3 = ed_ops.batch_verify(items)
-    dt3 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ok3 = ed_ops.batch_verify(items)
-    dt3 = time.perf_counter() - t0  # second run: jit warm
-    print(
-        json.dumps(
-            {
-                "config": 3,
-                "ok": bool(ok3),
-                "sigs_per_s": 256 / dt3,
-                "wall_s": dt3,
-                "backend": backend,
-            }
-        )
+    ok, diag = ed_ops.batch_verify(items)
+    dt = time.perf_counter() - t0
+    return {
+        "config": 3,
+        "ok": bool(ok),
+        "sigs_per_s": 256 / dt,
+        "wall_s": dt,
+        "msm_points": diag.get("msm_points"),
+    }
+
+
+def config4():
+    import jax
+    import numpy as np
+
+    from blobstreamx_tpu.fields import gf64
+    from blobstreamx_tpu.golden import goldilocks as gl
+    from blobstreamx_tpu.ops import fri as fri_ops, ntt as ntt_ops
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        gf64.from_u64(rng.integers(0, gl.P, size=(1 << 22,), dtype=np.uint64))
     )
-
-    # config 4: 2^22 NTT + FRI fold
-    from blobstreamx_tpu.ops import fri as fri_ops
-
-    x = jax.device_put(gf64.from_u64(rng.integers(0, gl.P, size=(1 << 22,), dtype=np.uint64)))
-    f4 = jax.jit(ntt_ops.ntt_four_step)
-    dt4 = _time(f4, x, iters=10)
+    dt = _time(jax.jit(ntt_ops.ntt_four_step), x, iters=10)
+    path = "xla"
+    try:
+        dtp = _time(jax.jit(ntt_ops.ntt_four_step_pallas), x, iters=10)
+        if dtp < dt:
+            dt, path = dtp, "pallas"
+    except Exception:
+        pass
     bf = ntt_ops.butterfly_count(22)
-    print(
-        json.dumps(
-            {
-                "config": 4,
-                "butterflies_per_s": bf / dt4,
-                "ntt_wall_s": dt4,
-                "backend": backend,
-            }
-        )
+
+    # FRI fold: one arity-2 fold of the 2^22 codeword (the per-layer hot op)
+    def fold(cw):
+        return fri_ops.fold_codeword(cw, 0x123456789ABCDEF, gl.COSET_SHIFT)
+
+    try:
+        dt_fold = _time(jax.jit(fold), x, iters=10)
+    except Exception:
+        dt_fold = None
+    rec = {
+        "config": 4,
+        "butterflies_per_s": bf / dt,
+        "ntt_wall_s": dt,
+        "path": path,
+    }
+    if dt_fold is not None:
+        rec["fri_fold_wall_s"] = dt_fold
+        rec["fri_fold_elems_per_s"] = (1 << 21) / dt_fold
+    return rec
+
+
+def config5(headers: int, validators: int, sha_stark: bool, ed_stark: bool):
+    from blobstreamx_tpu.models import skip
+
+    t0 = time.perf_counter()
+    chain = skip.generate_chain(
+        seed=7, n_headers=headers, n_validators=validators, sign_heights={headers}
     )
+    w = skip.build_witness(chain, trusted_height=1, target_height=headers)
+    setup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = skip.prove(w, with_sha_stark=sha_stark, with_ed_stark=ed_stark)
+    prove_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = skip.verify(proof)
+    verify_s = time.perf_counter() - t0
+    return {
+        "config": 5,
+        "ok": bool(ok),
+        "headers": headers,
+        "validators": validators,
+        "sha_stark": sha_stark,
+        "ed_stark": ed_stark,
+        "witness_s": setup_s,
+        "prove_s": prove_s,
+        "verify_s": verify_s,
+        "timing": proof.timing,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("configs", nargs="*", type=int, default=[1, 2, 3, 4])
+    ap.add_argument("--headers", type=int, default=64)
+    ap.add_argument("--validators", type=int, default=16)
+    ap.add_argument("--sha-stark", action="store_true")
+    ap.add_argument("--ed-stark", action="store_true")
+    args = ap.parse_args()
+    configs = args.configs or [1, 2, 3, 4]
+
+    import jax
+
+    backend = jax.default_backend()
+    for c in configs:
+        if c == 5:
+            rec = config5(args.headers, args.validators, args.sha_stark, args.ed_stark)
+        else:
+            rec = {1: config1, 2: config2, 3: config3, 4: config4}[c]()
+        rec["backend"] = backend
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

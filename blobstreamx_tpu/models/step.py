@@ -18,5 +18,18 @@ from blobstreamx_tpu.prover.pipeline import (
     prove_step as prove,
     verify_step_proof as verify,
 )
+from blobstreamx_tpu.prover.serialize import (
+    step_proof_from_bytes as from_bytes,
+    step_proof_to_bytes as to_bytes,
+)
 
-__all__ = ["generate_chain", "build_witness", "prove", "verify", "StepProof", "StarkConfig"]
+__all__ = [
+    "generate_chain",
+    "build_witness",
+    "prove",
+    "verify",
+    "to_bytes",
+    "from_bytes",
+    "StepProof",
+    "StarkConfig",
+]

@@ -188,6 +188,122 @@ def _roll_stages(x: Gl, log_n: int, tw: Gl, masks, roll_fn) -> Gl:
     return lo, hi
 
 
+def _split_stages(x: Gl, log_n: int, tw_half: Gl) -> Gl:
+    """All DIT butterfly stages via major-axis reshapes (the _apply_stages
+    formulation, usable inside Pallas: every reshape/stack only splits or
+    merges leading axes, which Mosaic supports on 32-bit data). Multiplies
+    only the odd half each stage — half the gl_mul work of _roll_stages.
+
+    tw_half: (log_n, n/2) twiddles, row s = full[::stride][:half] tiled to
+    n/2 (only the first `half` entries of row s are read)."""
+    lo, hi = x
+    n = lo.shape[0]
+    c = lo.shape[1]
+    tw_lo, tw_hi = tw_half
+    for s in range(log_n):
+        half = 1 << s
+        shaped = lambda a: a.reshape(n // (2 * half), 2, half, c)
+        l4, h4 = shaped(lo), shaped(hi)
+        x0 = (l4[:, 0], h4[:, 0])
+        x1 = (l4[:, 1], h4[:, 1])
+        tw = (tw_lo[s, :half][None, :, None], tw_hi[s, :half][None, :, None])
+        t = gl_mul(x1, tw)
+        e = gl_add(x0, t)
+        o = gl_sub(x0, t)
+        lo = jnp.stack([e[0], o[0]], axis=1).reshape(n, c)
+        hi = jnp.stack([e[1], o[1]], axis=1).reshape(n, c)
+    return lo, hi
+
+
+@lru_cache(maxsize=None)
+def _stage_tw_half_table(log_n: int, inverse: bool) -> np.ndarray:
+    """(log_n, n/2) uint64: row s = the stage-s twiddles full[::stride][:half],
+    zero-padded (padding never read)."""
+    n = 1 << log_n
+    full = power_table(log_n, inverse)
+    out = np.zeros((log_n, max(n // 2, 1)), dtype=np.uint64)
+    for s in range(log_n):
+        half = 1 << s
+        stride = 1 << (log_n - 1 - s)
+        out[s, :half] = full[::stride][:half]
+    return out
+
+
+def _pallas_ntt_kernel_split(log_n: int, n_inv: int | None):
+    """Kernel body factory for the split-butterfly formulation."""
+
+    def kernel(xlo_ref, xhi_ref, twlo_ref, twhi_ref, olo_ref, ohi_ref):
+        lo, hi = _split_stages(
+            (xlo_ref[:], xhi_ref[:]), log_n, (twlo_ref[:], twhi_ref[:])
+        )
+        if n_inv is not None:
+            sc = gf64.full((), n_inv)
+            lo, hi = gl_mul((lo, hi), (sc[0][None, None], sc[1][None, None]))
+        olo_ref[:] = lo
+        ohi_ref[:] = hi
+
+    return kernel
+
+
+def ntt_cols_pallas_split(
+    x: Gl, inverse: bool = False, c_tile: int = 128, interpret: bool = False
+) -> Gl:
+    """ntt_cols with all stages fused in one Pallas kernel using the
+    split-butterfly formulation (half the multiplies of ntt_cols_pallas).
+    Bit-exact with ntt_cols."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = x[0].shape
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    c_tile = min(c_tile, c)
+    assert c % c_tile == 0, (c, c_tile)
+    rev = jnp.asarray(bitrev_indices(log_n))
+    xlo = jnp.take(x[0], rev, axis=0)
+    xhi = jnp.take(x[1], rev, axis=0)
+    n_inv = gold.inv(n % P) if inverse else None
+    tw_lo, tw_hi = gf64.from_u64(_stage_tw_half_table(log_n, inverse))
+    kernel = _pallas_ntt_kernel_split(log_n, n_inv)
+    spec = pl.BlockSpec((n, c_tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(
+        (log_n, max(n // 2, 1)), lambda j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(c // c_tile,),
+        in_specs=[spec, spec, tab, tab],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.uint32),
+            jax.ShapeDtypeStruct((n, c), jnp.uint32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xlo, xhi, tw_lo, tw_hi)
+    return out_lo, out_hi
+
+
+def ntt_four_step_pallas_split(x: Gl, inverse: bool = False, interpret: bool = False) -> Gl:
+    """Four-step single-poly NTT over the split-butterfly Pallas kernel."""
+    n = x[0].shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    log_n1 = log_n // 2
+    n1 = 1 << log_n1
+    n2 = 1 << (log_n - log_n1)
+
+    mat = (x[0].reshape(n1, n2), x[1].reshape(n1, n2))
+    mat = ntt_cols_pallas_split(mat, inverse, interpret=interpret)
+    tw = gf64.from_u64(_four_step_twiddles(log_n, inverse))
+    mat = gl_mul(mat, tw)
+    mat = (mat[0].T, mat[1].T)
+    mat = ntt_cols_pallas_split(mat, inverse, interpret=interpret)
+    return mat[0].reshape(n), mat[1].reshape(n)
+
+
 def _pallas_ntt_kernel(log_n: int, n_inv: int | None):
     """Kernel body factory: all stages on one (n, C_TILE) VMEM block."""
     from jax.experimental.pallas import tpu as pltpu

@@ -43,6 +43,19 @@ from blobstreamx_tpu.golden import goldilocks as gold
 KINDS = ("transition", "first", "last", "all")
 
 
+def frame_block(alg, frame, a: int, b: int):
+    """Columns [a, b) of a trace frame as a width-(b-a) matrix.
+
+    On the device prover the frame is a lazy matrix view exposing .block —
+    ONE slice op instead of (b-a) column slices re-concatenated (XLA chokes
+    on 1000-operand concatenates: 'Very slow compile'). On the host verifier
+    the frame is a plain list and this is alg.stack of the slice. Values are
+    identical either way."""
+    if hasattr(frame, "block"):
+        return frame.block(a, b)
+    return alg.stack(frame[a:b])
+
+
 class DeviceAlgebra:
     """Base-field arithmetic on (n_ext,)-shaped Gl arrays (and (n_ext, k)
     matrices for vectorized constraints)."""
@@ -219,6 +232,17 @@ class Air:
     n_challenges: int = 0
     n_stage2: int = 0  # challenge-dependent columns, committed after sampling
     max_degree: int = 2  # max total degree of any constraint in trace values
+    # Chunked quotient compilation: an AIR with a huge constraint graph (the
+    # Ed25519 scalar-mul AIR traces to ~2*10^5 HLO ops) can split its
+    # constraints into groups; the prover compiles one XLA program per group
+    # (DCE prunes everything a group doesn't read) instead of one giant
+    # program — XLA compile time is superlinear in graph size, so G smaller
+    # compiles are much faster than one big one. Bit-exactness is preserved:
+    # group accumulators combine by field addition, which is exact and
+    # associative, and the alpha-power assignment uses GLOBAL constraint
+    # offsets, so the combined quotient is identical to the single-program
+    # one. The host verifier always uses eval_constraints.
+    n_constraint_groups: int = 1
 
     def eval_constraints(
         self,
@@ -247,6 +271,36 @@ class Air:
         and verifier (it is: same code).
         """
         raise NotImplementedError
+
+    def eval_constraint_group(
+        self,
+        g: int,
+        local,
+        nxt,
+        publics,
+        alg,
+        fixed=None,
+        fixed_next=None,
+        challenges=None,
+        stage2=None,
+        stage2_next=None,
+    ):
+        """Constraints of group g (0 <= g < n_constraint_groups). INVARIANT:
+        concatenating the groups in order must equal eval_constraints exactly
+        (same values, widths, kinds, order) — the alpha assignment depends on
+        it. Default: one group == the whole list."""
+        assert g == 0 and self.n_constraint_groups == 1
+        return self.eval_constraints(
+            local,
+            nxt,
+            publics,
+            alg,
+            fixed=fixed,
+            fixed_next=fixed_next,
+            challenges=challenges,
+            stage2=stage2,
+            stage2_next=stage2_next,
+        )
 
     def build_stage2(self, trace: np.ndarray, challenges: list[int], aux) -> np.ndarray:
         """(n, n_stage2) uint64 challenge-dependent columns (host-built; e.g.

@@ -50,7 +50,7 @@ from blobstreamx_tpu.golden import goldilocks as gold
 from blobstreamx_tpu.prover import gf25519_gadget as gg
 from blobstreamx_tpu.prover import lookup
 
-from .air import Air
+from .air import Air, frame_block
 
 P = gold.P
 Q255 = ged.Q
@@ -203,6 +203,39 @@ class EdScalarMulAir(Air):
         return np.concatenate([lu, bus], axis=1)
 
     # ----------------------------------------------------------- constraints
+    #
+    # Chunked quotient compilation (see Air.n_constraint_groups): groups 0-8
+    # are the nine Edwards-addition multiplication gadgets (the graph bulk —
+    # each compiles as its own XLA program), group 9 the scalar/accumulator/
+    # bus logic, group 10 the logUp range argument. eval_constraints is the
+    # concatenation, in that order (the verifier and the grouped prover agree
+    # on alpha offsets because the order is identical).
+    n_constraint_groups = 11
+
+    def eval_constraint_group(
+        self,
+        g,
+        local,
+        nxt,
+        publics,
+        alg,
+        fixed=None,
+        fixed_next=None,
+        challenges=None,
+        stage2=None,
+        stage2_next=None,
+    ):
+        if g < 9:
+            return gg.eval_ed_add_group(alg, local[: gg.N_EDADD_COLS], g)
+        if g == 9:
+            return self._eval_scalar_bus(
+                local, nxt, alg, fixed, fixed_next, challenges, stage2, stage2_next
+            )
+        assert g == 10
+        return self._eval_lookup(
+            local, nxt, alg, fixed, fixed_next, challenges, stage2, stage2_next
+        )
+
     def eval_constraints(
         self,
         local,
@@ -215,7 +248,25 @@ class EdScalarMulAir(Air):
         stage2=None,
         stage2_next=None,
     ):
-        nt = self.nt
+        cs = []
+        for g in range(self.n_constraint_groups):
+            cs += self.eval_constraint_group(
+                g,
+                local,
+                nxt,
+                publics,
+                alg,
+                fixed=fixed,
+                fixed_next=fixed_next,
+                challenges=challenges,
+                stage2=stage2,
+                stage2_next=stage2_next,
+            )
+        return cs
+
+    def _eval_scalar_bus(
+        self, local, nxt, alg, fixed, fixed_next, challenges, stage2, stage2_next
+    ):
         one = alg.const(1)
         add_sel = fixed[FX_ADD]
         pad_sel = fixed[FX_PAD]
@@ -226,22 +277,32 @@ class EdScalarMulAir(Air):
         seglast_n = fixed_next[FX_SEGLAST]
         rp = challenges[:64]  # rp[i] = r^{i+1}
         c_final = challenges[64]
-        beta = challenges[65]
         bit = local[OFF_BIT]
         bit_n = nxt[OFF_BIT]
 
-        cs = []
-        # 1. the Edwards unified addition gadget on every row (9 x width-34)
-        cs += gg.eval_ed_add_constraints(alg, local[: gg.N_EDADD_COLS])
+        def out_block(frame):
+            # OUT_COLS is four contiguous 16-column runs (X3,Y3,Z3,T3 c-limbs)
+            return alg.concat_cols(
+                *(
+                    frame_block(
+                        alg,
+                        frame,
+                        OFF_WIT + (5 + m) * gg.N_MUL_WITNESS,
+                        OFF_WIT + (5 + m) * gg.N_MUL_WITNESS + 16,
+                    )
+                    for m in range(4)
+                )
+            )
 
+        cs = []
         # 2. bit booleanity; pad rows force bit = 0
         cs.append((alg.mul(bit, alg.sub(bit, one)), "all"))
         cs.append((alg.mul(pad_sel, bit), "all"))
 
         # 3. accumulator chaining: next acc = this row's output point
-        acc_m = alg.stack([local[OFF_ACC + j] for j in range(64)])
-        acc_mn = alg.stack([nxt[OFF_ACC + j] for j in range(64)])
-        out_m = alg.stack([local[c] for c in OUT_COLS])
+        acc_m = frame_block(alg, local, OFF_ACC, OFF_ACC + 64)
+        acc_mn = frame_block(alg, nxt, OFF_ACC, OFF_ACC + 64)
+        out_m = out_block(local)
         not_last = alg.colv(alg.sub(one, seglast))
         cs.append((alg.mul(not_last, alg.sub(acc_mn, out_m)), "transition"))
 
@@ -254,14 +315,14 @@ class EdScalarMulAir(Air):
         )
 
         # 5. double rows: addend = acc
-        add_m = alg.stack([local[OFF_ADD + j] for j in range(64)])
+        add_m = frame_block(alg, local, OFF_ADD, OFF_ADD + 64)
         dbl = alg.sub(one, add_sel)
         cs.append((alg.mul(alg.colv(dbl), alg.sub(add_m, acc_m)), "all"))
 
         # 6. add rows: addend = bit ? (px, py, 1, pt) : (0, 1, 1, 0)
-        px_m = alg.stack([local[OFF_P + j] for j in range(16)])
-        py_m = alg.stack([local[OFF_P + 16 + j] for j in range(16)])
-        pt_m = alg.stack([local[OFF_P + 32 + j] for j in range(16)])
+        px_m = frame_block(alg, local, OFF_P, OFF_P + 16)
+        py_m = frame_block(alg, local, OFF_P + 16, OFF_P + 32)
+        pt_m = frame_block(alg, local, OFF_P + 32, OFF_P + 48)
         bitc = alg.colv(bit)
         nbitc = alg.colv(alg.sub(one, bit))
         e0 = alg.const_row(E0)
@@ -276,8 +337,8 @@ class EdScalarMulAir(Air):
         cs.append((alg.mul(alg.colv(add_sel), alg.sub(add_m, target)), "all"))
 
         # 7. the base point is constant within a segment
-        p_m = alg.stack([local[OFF_P + j] for j in range(48)])
-        p_mn = alg.stack([nxt[OFF_P + j] for j in range(48)])
+        p_m = frame_block(alg, local, OFF_P, OFF_P + 48)
+        p_mn = frame_block(alg, nxt, OFF_P, OFF_P + 48)
         cs.append((alg.mul(not_last, alg.sub(p_mn, p_m)), "transition"))
 
         # 8. digest bus
@@ -285,11 +346,17 @@ class EdScalarMulAir(Air):
         bus_n = stage2_next[-1]
 
         def fold_desc(elems):
-            # sum_j elems[j] * r^{L-1-j}; the last element gets r^0
-            acc = elems[-1]
-            for j in range(len(elems) - 1):
-                acc = alg.add(acc, alg.mul(elems[j], rp[len(elems) - 2 - j]))
-            return acc
+            # sum_j elems[j] * r^{L-1-j}; the last element gets r^0.
+            # Matrix form (one wide mul + log-depth column sum) instead of a
+            # sequential chain: exact field addition is associative, so the
+            # value — and therefore the proof — is unchanged, but the graph
+            # is ~10x smaller and has log instead of linear depth.
+            k = len(elems)
+            if k == 1:
+                return elems[0]
+            m = alg.stack(list(elems[:-1]))  # (n, k-1)
+            w = alg.stack([rp[k - 2 - j] for j in range(k - 1)])  # (1, k-1)
+            return alg.add(alg.sum_cols(alg.mul(m, w)), elems[-1])
 
         fold48_n = fold_desc([nxt[OFF_P + j] for j in range(48)])
         fold64_n = fold_desc([nxt[c] for c in OUT_COLS])
@@ -304,14 +371,21 @@ class EdScalarMulAir(Air):
         cs.append((alg.sub(bus_n, absorb), "transition"))
         cs.append((alg.sub(bus, fold_desc([local[OFF_P + j] for j in range(48)])), "first"))
         cs.append((alg.sub(bus, c_final), "last"))
+        return cs
 
+    def _eval_lookup(
+        self, local, nxt, alg, fixed, fixed_next, challenges, stage2, stage2_next
+    ):
+        nt = self.nt
+        beta = challenges[65]
+        cs = []
         # 9. logUp 16-bit range checks over every mul-witness and P limb
-        values_m = alg.stack([local[OFF_WIT + j] for j in range(N_LOOKUP)])
-        values_mn = alg.stack([nxt[OFF_WIT + j] for j in range(N_LOOKUP)])
-        mult_m = alg.stack([local[OFF_MULT + j] for j in range(nt)])
-        mult_mn = alg.stack([nxt[OFF_MULT + j] for j in range(nt)])
-        table_m = alg.stack([fixed[FX_TABLE + j] for j in range(nt)])
-        table_mn = alg.stack([fixed_next[FX_TABLE + j] for j in range(nt)])
+        values_m = frame_block(alg, local, OFF_WIT, OFF_WIT + N_LOOKUP)
+        values_mn = frame_block(alg, nxt, OFF_WIT, OFF_WIT + N_LOOKUP)
+        mult_m = frame_block(alg, local, OFF_MULT, OFF_MULT + nt)
+        mult_mn = frame_block(alg, nxt, OFF_MULT, OFF_MULT + nt)
+        table_m = frame_block(alg, fixed, FX_TABLE, FX_TABLE + nt)
+        table_mn = frame_block(alg, fixed_next, FX_TABLE, FX_TABLE + nt)
         cs += lookup.eval_logup_multi(
             alg,
             beta,
@@ -321,8 +395,8 @@ class EdScalarMulAir(Air):
             values_mn,
             mult_mn,
             table_mn,
-            stage2[: N_LOOKUP + nt + 1],
-            stage2_next[: N_LOOKUP + nt + 1],
+            stage2,
+            stage2_next,
             N_LOOKUP,
             nt,
         )

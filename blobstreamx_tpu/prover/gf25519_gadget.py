@@ -217,9 +217,9 @@ class EdAddWitness:
         return cols
 
 
-def eval_ed_add_constraints(alg, cols):
-    """Constraints for one Edwards addition row; cols in EdAddWitness order.
-    Returns a list of [(matrix value, 'all')] — one per multiplication."""
+def _mul_operands(alg, cols, idx: int):
+    """Operand limb vectors (a, b) of multiplication `idx` of the Edwards
+    addition, rebuilt from the row columns (MUL_NAMES order)."""
     L = N_LIMBS
 
     def word(base):
@@ -228,12 +228,8 @@ def eval_ed_add_constraints(alg, cols):
     x1, y1, z1, t1 = (word(L * i) for i in range(4))
     x2, y2, z2, t2 = (word(L * (4 + i)) for i in range(4))
 
-    def wit(idx):
-        base = N_EDADD_INPUT + idx * N_MUL_WITNESS
-        return cols[base : base + N_MUL_WITNESS]
-
-    def c_of(idx):
-        base = N_EDADD_INPUT + idx * N_MUL_WITNESS
+    def c_of(i):
+        base = N_EDADD_INPUT + i * N_MUL_WITNESS
         return cols[base : base + L]
 
     def sub_l(u, v):
@@ -242,22 +238,37 @@ def eval_ed_add_constraints(alg, cols):
     def add_l(u, v):
         return [alg.add(a, b) for a, b in zip(u, v)]
 
-    two_d = [alg.const(v) for v in TWO_D_LIMBS]
-    cs = []
-    cs += eval_mul_constraints(alg, sub_l(y1, x1), sub_l(y2, x2), wit(0))  # A
-    cs += eval_mul_constraints(alg, add_l(y1, x1), add_l(y2, x2), wit(1))  # B
-    cs += eval_mul_constraints(alg, t1, t2, wit(2))  # U
-    cs += eval_mul_constraints(alg, c_of(2), two_d, wit(3))  # C
-    cs += eval_mul_constraints(alg, z1, z2, wit(4))  # V
+    if idx == 0:  # A
+        return sub_l(y1, x1), sub_l(y2, x2)
+    if idx == 1:  # B
+        return add_l(y1, x1), add_l(y2, x2)
+    if idx == 2:  # U
+        return t1, t2
+    if idx == 3:  # C = U * 2d
+        return c_of(2), [alg.const(v) for v in TWO_D_LIMBS]
+    if idx == 4:  # V
+        return z1, z2
     a_c, b_c, c_c, v_c = c_of(0), c_of(1), c_of(3), c_of(4)
     e = sub_l(b_c, a_c)
     f = sub_l(add_l(v_c, v_c), c_c)
     g = add_l(add_l(v_c, v_c), c_c)
     h = add_l(b_c, a_c)
-    cs += eval_mul_constraints(alg, e, f, wit(5))  # X3
-    cs += eval_mul_constraints(alg, g, h, wit(6))  # Y3
-    cs += eval_mul_constraints(alg, f, g, wit(7))  # Z3
-    cs += eval_mul_constraints(alg, e, h, wit(8))  # T3
+    return {5: (e, f), 6: (g, h), 7: (f, g), 8: (e, h)}[idx]
+
+
+def eval_ed_add_group(alg, cols, idx: int):
+    """Constraints of multiplication `idx` alone (chunked-quotient group)."""
+    a, b = _mul_operands(alg, cols, idx)
+    base = N_EDADD_INPUT + idx * N_MUL_WITNESS
+    return eval_mul_constraints(alg, a, b, cols[base : base + N_MUL_WITNESS])
+
+
+def eval_ed_add_constraints(alg, cols):
+    """Constraints for one Edwards addition row; cols in EdAddWitness order.
+    Returns a list of [(matrix value, 'all')] — one per multiplication."""
+    cs = []
+    for idx in range(len(MUL_NAMES)):
+        cs += eval_ed_add_group(alg, cols, idx)
     return cs
 
 

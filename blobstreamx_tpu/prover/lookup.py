@@ -156,14 +156,18 @@ def eval_logup_multi(alg, beta, values_m, mult_m, table_m, values_m_next,
     """Matrix-form logUp with multiple table columns.
 
     values_m (width n_vals), mult_m / table_m (width n_tabs) are algebra
-    matrices; stage2 layout: [w_0..w_{k-1}, wm_0..wm_{t-1}, A] (elements).
-    Returns [(value, kind), ...]."""
+    matrices; stage2 layout: [w_0..w_{k-1}, wm_0..wm_{t-1}, A] (elements,
+    starting at stage2 index 0 — pass the frame itself, which may be a lazy
+    matrix view: frame_block then slices whole blocks instead of stacking
+    1000 columns, see air.frame_block). Returns [(value, kind), ...]."""
+    from .air import frame_block
+
     k, nt = n_vals, n_tabs
-    w_m = alg.stack(stage2[:k])
-    wm_m = alg.stack(stage2[k : k + nt])
+    w_m = frame_block(alg, stage2, 0, k)
+    wm_m = frame_block(alg, stage2, k, k + nt)
     acc = stage2[k + nt]
-    w_mn = alg.stack(stage2_next[:k])
-    wm_mn = alg.stack(stage2_next[k : k + nt])
+    w_mn = frame_block(alg, stage2_next, 0, k)
+    wm_mn = frame_block(alg, stage2_next, k, k + nt)
     acc_n = stage2_next[k + nt]
     cs = []
     cs.append(

@@ -139,6 +139,18 @@ def skip_proof_to_bytes(p) -> bytes:
             "aux": [[list(map(int, w)), list(map(int, o))] for w, o in p.sha_stark.aux],
             "n_rows": int(p.sha_stark.n_rows),
         }
+    if p.ed_stark is not None:
+        # aux per segment: (scalar, (px, py), (X, Y, Z, T)) — python bigints,
+        # JSON-exact (decimal strings would be redundant; json ints are
+        # arbitrary precision)
+        d["ed_stark"] = {
+            "stark": stark_proof_to_dict(p.ed_stark.stark),
+            "aux": [
+                [int(s), [int(pt[0]), int(pt[1])], [int(v) for v in out]]
+                for s, pt, out in p.ed_stark.aux
+            ],
+            "n_rows": int(p.ed_stark.n_rows),
+        }
     return json.dumps(d, separators=(",", ":")).encode()
 
 
@@ -163,6 +175,18 @@ def skip_proof_from_bytes(b: bytes):
             aux=[(tuple(w), tuple(o)) for w, o in d["sha_stark"]["aux"]],
             n_rows=int(d["sha_stark"]["n_rows"]),
         )
+    ed = None
+    if "ed_stark" in d:
+        from blobstreamx_tpu.prover.ed_claims import EdStarkProof
+
+        ed = EdStarkProof(
+            stark=stark_proof_from_dict(d["ed_stark"]["stark"]),
+            aux=[
+                (int(s), (int(pt[0]), int(pt[1])), tuple(int(v) for v in out))
+                for s, pt, out in d["ed_stark"]["aux"]
+            ],
+            n_rows=int(d["ed_stark"]["n_rows"]),
+        )
     return pipeline.SkipProof(
         outputs=out,
         publics=list(d["publics"]),
@@ -170,4 +194,44 @@ def skip_proof_from_bytes(b: bytes):
         stark=stark_proof_from_dict(d["stark"]),
         timing="",
         sha_stark=sha,
+        ed_stark=ed,
+    )
+
+
+def step_proof_to_bytes(p) -> bytes:
+    """Serialize a pipeline.StepProof."""
+    d = {
+        "schema": SCHEMA,
+        "kind": "step",
+        "outputs": {
+            "prev_height": p.outputs.prev_height,
+            "prev_root": p.outputs.prev_root.hex(),
+            "new_height": p.outputs.new_height,
+            "new_root": p.outputs.new_root.hex(),
+        },
+        "publics": [int(x) for x in p.publics],
+        "n_rows": int(p.n_rows),
+        "stark": stark_proof_to_dict(p.stark),
+    }
+    return json.dumps(d, separators=(",", ":")).encode()
+
+
+def step_proof_from_bytes(b: bytes):
+    from blobstreamx_tpu.circuits.step import StepPublicOutputs
+    from blobstreamx_tpu.prover import pipeline
+
+    d = json.loads(b)
+    assert d.get("schema") == SCHEMA and d.get("kind") == "step"
+    out = StepPublicOutputs(
+        prev_height=d["outputs"]["prev_height"],
+        prev_root=bytes.fromhex(d["outputs"]["prev_root"]),
+        new_height=d["outputs"]["new_height"],
+        new_root=bytes.fromhex(d["outputs"]["new_root"]),
+    )
+    return pipeline.StepProof(
+        outputs=out,
+        publics=list(d["publics"]),
+        n_rows=int(d["n_rows"]),
+        stark=stark_proof_from_dict(d["stark"]),
+        timing="",
     )

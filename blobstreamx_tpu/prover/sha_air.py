@@ -52,7 +52,7 @@ import numpy as np
 from blobstreamx_tpu.golden import goldilocks as gold
 from blobstreamx_tpu.golden import sha256 as gsha
 
-from .air import Air
+from .air import Air, frame_block
 
 P = gold.P
 MASK32 = 0xFFFFFFFF
@@ -214,7 +214,7 @@ class Sha256Air(Air):
         cs = []
 
         # 1. booleanity of every bit column (trace cols 0..1299)
-        all_bits = alg.stack([local[j] for j in range(N_COLS)])
+        all_bits = frame_block(alg, local, 0, N_COLS)
         cs.append(
             (alg.mul(all_bits, alg.sub(all_bits, alg.const_row([1] * N_COLS))), "all")
         )

@@ -238,6 +238,44 @@ def _eval_columns_at(coeffs: Gl, powers):
     return (s0[0][0], s0[1][0]), (s1[0][0], s1[1][0])
 
 
+class _LazyCols:
+    """Sequence view over an (n, k) Gl matrix yielding per-column (n,)
+    elements on demand. Frames hand this to Air.eval_constraints instead of a
+    pre-sliced list: a 2000-column AIR traced eagerly pays ~4k slice ops per
+    constraint-group program before DCE; lazily only the referenced columns
+    are ever sliced (tracing time is what it costs — XLA DCEs either way)."""
+
+    __slots__ = ("lo", "hi", "k", "_cache")
+
+    def __init__(self, lde, k: int):
+        self.lo, self.hi = lde
+        self.k = k
+        self._cache: dict = {}
+
+    def __len__(self) -> int:
+        return self.k
+
+    def __getitem__(self, j):
+        if isinstance(j, slice):
+            return [self[i] for i in range(*j.indices(self.k))]
+        if j < 0:
+            j += self.k
+        assert 0 <= j < self.k, (j, self.k)
+        hit = self._cache.get(j)
+        if hit is None:
+            hit = self._cache[j] = (self.lo[:, j], self.hi[:, j])
+        return hit
+
+    def __iter__(self):
+        return (self[j] for j in range(self.k))
+
+    def block(self, a: int, b: int):
+        """Columns [a, b) as an (n, b-a) Gl matrix — one slice op (see
+        air.frame_block)."""
+        assert 0 <= a <= b <= self.k, (a, b, self.k)
+        return self.lo[:, a:b], self.hi[:, a:b]
+
+
 _tree_layers = merkle_ops.tree_layers
 
 
@@ -271,14 +309,22 @@ def _fixed_lde_cached(air_key, air: Air, n: int, rate_bits: int, shift: int):
     return build(fixed_gl)
 
 
-def _combine_alpha_device(constraints, alpha, alg: "DeviceAlgebra"):
+def _combine_alpha_device(
+    constraints, alpha, alg: "DeviceAlgebra", offset: int = 0, pow_total: int | None = None
+):
     """Width-aware alpha combination: constraint j's columns get consecutive
-    alpha powers; returns {kind: ext accumulator} (device)."""
-    total = sum(alg.width(v) for v, _ in constraints)
+    alpha powers; returns {kind: ext accumulator} (device).
+
+    offset/pow_total support chunked quotient compilation: a constraint GROUP
+    passes its global starting offset and the global width total, so power
+    assignment is identical to the single-program evaluation."""
+    total = offset + sum(alg.width(v) for v, _ in constraints)
+    if pow_total is not None:
+        assert pow_total >= total
+        total = pow_total
     w_pow2 = 1 << max(1, (total - 1).bit_length()) if total > 1 else 1
     pow_vec = _ext_powers_pow2(alpha, max(w_pow2, 2))  # ext, shape (>=total,)
     acc = {}
-    offset = 0
     for value, kind in constraints:
         w = alg.width(value)
         if w == 1:
@@ -336,40 +382,30 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
     n_fixed = air.n_fixed
     n_s2 = air.n_stage2
 
-    # The quotient is split into two jitted programs: the AIR-specific
-    # constraint evaluation + divisor division, and the AIR-GENERIC commit
-    # (INTT, chunking, LDE, tree). Two smaller compiles beat one big one
-    # (XLA compile time is superlinear in graph size) and the commit half is
-    # shared by every AIR with the same (n, config).
-    @jax.jit
-    def quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+    def _framed(trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl):
         def frame(lde, k):
-            cur = [(lde[0][:, j], lde[1][:, j]) for j in range(k)]
-            nlo = jnp.roll(lde[0], -blowup, axis=0)
-            nhi = jnp.roll(lde[1], -blowup, axis=0)
-            return cur, [(nlo[:, j], nhi[:, j]) for j in range(k)]
+            cur = _LazyCols(lde, k)
+            shifted = (
+                jnp.roll(lde[0], -blowup, axis=0),
+                jnp.roll(lde[1], -blowup, axis=0),
+            )
+            return cur, _LazyCols(shifted, k)
 
         local, nxt = frame(trace_lde, n_cols)
         stage2, stage2_next = frame(s2_lde, n_s2)
         fixed, fixed_next = frame(fixed_lde, n_fixed)
         publics = [(pub_gl[0][j : j + 1], pub_gl[1][j : j + 1]) for j in range(n_pub)]
         chals = [(chal_gl[0][j : j + 1], chal_gl[1][j : j + 1]) for j in range(n_chal)]
-        alg = DeviceAlgebra((n_ext,))
-        constraints = air.eval_constraints(
-            local,
-            nxt,
-            publics,
-            alg,
+        return local, nxt, publics, dict(
             fixed=fixed,
             fixed_next=fixed_next,
             challenges=chals,
             stage2=stage2,
             stage2_next=stage2_next,
         )
-        for _, kind in constraints:
-            assert kind in KINDS
-        acc = _combine_alpha_device(constraints, alpha, alg)
 
+    def _divide_and_stack(acc):
+        """{kind: ext accumulator} -> (n_ext, 2)-pair quotient columns."""
         x_tab = gf64.from_u64(_domain_table(log_n_ext, shift))
         zh_inv = gf64.from_u64(_zh_inv_table(log_n, config.rate_bits, shift))
         x_minus_last = gl_sub(x_tab, gf64.full((n_ext,), g_last))
@@ -393,11 +429,106 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
             jnp.stack([q[0][1], q[1][1]], axis=1),
         )
 
-    q_commit = _quotient_commit_fn(n, config, shift, ch)
+    # The quotient is split into jitted programs: the AIR-specific constraint
+    # evaluation + divisor division, and the AIR-GENERIC commit (INTT,
+    # chunking, LDE, tree). Smaller compiles beat one big one (XLA compile
+    # time is superlinear in graph size) and the commit half is shared by
+    # every AIR with the same (n, config). AIRs with n_constraint_groups > 1
+    # additionally split constraint evaluation itself (see Air docstring).
+    @jax.jit
+    def quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+        local, nxt, publics, fr = _framed(trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl)
+        alg = DeviceAlgebra((n_ext,))
+        constraints = air.eval_constraints(local, nxt, publics, alg, **fr)
+        for _, kind in constraints:
+            assert kind in KINDS
+        acc = _combine_alpha_device(constraints, alpha, alg)
+        return _divide_and_stack(acc)
 
-    def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
-        q_cols = quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl)
-        return q_commit(q_cols)
+    q_commit = _quotient_commit_fn(n, config, shift, ch)
+    n_groups = getattr(air, "n_constraint_groups", 1)
+
+    if n_groups == 1:
+
+        def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+            q_cols = quotient_eval(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl)
+            return q_commit(q_cols)
+
+    else:
+        # ---- chunked quotient: one compiled program per constraint group ----
+        # Pass 1 (abstract, no compile): learn each group's constraint widths
+        # and kinds so global alpha offsets and the kind set are static.
+        def _meta_of(g):
+            kinds: list[str] = []
+            widths: list[int] = []
+
+            def probe(trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl):
+                local, nxt, publics, fr = _framed(
+                    trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl
+                )
+                alg = DeviceAlgebra((n_ext,))
+                cons = air.eval_constraint_group(g, local, nxt, publics, alg, **fr)
+                for v, k in cons:
+                    assert k in KINDS
+                    kinds.append(k)
+                    widths.append(alg.width(v))
+                return [v for v, _ in cons]
+
+            lde_s = jax.ShapeDtypeStruct((n_ext, n_cols), jnp.uint32)
+            s2_s = jax.ShapeDtypeStruct((n_ext, n_s2), jnp.uint32)
+            fx_s = jax.ShapeDtypeStruct((n_ext, n_fixed), jnp.uint32)
+            pub_s = jax.ShapeDtypeStruct((n_pub,), jnp.uint32)
+            ch_s = jax.ShapeDtypeStruct((n_chal,), jnp.uint32)
+            jax.eval_shape(
+                probe, (lde_s, lde_s), (s2_s, s2_s), (pub_s, pub_s), (fx_s, fx_s), (ch_s, ch_s)
+            )
+            return widths, kinds
+
+        group_meta = [_meta_of(g) for g in range(n_groups)]
+        pow_total = sum(sum(w) for w, _ in group_meta)
+        kinds_used = [
+            k for k in KINDS if any(k in kinds for _, kinds in group_meta)
+        ]
+        offsets = []
+        off = 0
+        for widths, _ in group_meta:
+            offsets.append(off)
+            off += sum(widths)
+
+        def _make_group_fn(g, offset):
+            @jax.jit
+            def group_fn(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+                local, nxt, publics, fr = _framed(
+                    trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl
+                )
+                alg = DeviceAlgebra((n_ext,))
+                cons = air.eval_constraint_group(g, local, nxt, publics, alg, **fr)
+                acc = _combine_alpha_device(
+                    cons, alpha, alg, offset=offset, pow_total=pow_total
+                )
+                zero = gf64.ext_zeros((n_ext,))
+                return tuple(acc.get(k, zero) for k in kinds_used)
+
+            return group_fn
+
+        group_fns = [_make_group_fn(g, offsets[g]) for g in range(n_groups)]
+
+        @jax.jit
+        def q_from_parts(parts):
+            # field addition is exact and associative: summing per-group
+            # accumulators reproduces the single-program accumulator bit-exactly
+            acc = {}
+            for i, kind in enumerate(kinds_used):
+                v = parts[0][i]
+                for p in parts[1:]:
+                    v = gf64.ext_add(v, p[i])
+                acc[kind] = v
+            return _divide_and_stack(acc)
+
+        def quotient(trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl):
+            args = (trace_lde, s2_lde, pub_gl, alpha, fixed_lde, chal_gl)
+            parts = [fn(*args) for fn in group_fns]
+            return q_commit(q_from_parts(parts))
 
     @jax.jit
     def openings(trace_coeffs, s2_coeffs, q_chunk_coeffs, zeta, g_zeta):

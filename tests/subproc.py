@@ -18,18 +18,39 @@ import sys
 
 
 def _fingerprint() -> str:
+    """Cache-dir fingerprint. Must change whenever cached AOT code could be
+    invalid for this host: /proc/cpuinfo flags alone proved insufficient
+    (round-2 observation: a cache written by a different machine with
+    identical flags carried XLA target features like +prefer-no-gather that
+    this host lacks — loads logged SIGILL warnings and hung). Include the
+    hostname and jaxlib version."""
+    import socket
+
     try:
         with open("/proc/cpuinfo") as f:
             flags = next((l for l in f if l.startswith("flags")), "")
     except OSError:
-        return "nofp"
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+        flags = "nofp"
+    try:
+        import jaxlib
+
+        ver = jaxlib.__version__
+    except Exception:
+        ver = "nojaxlib"
+    key = f"{flags}|{socket.gethostname()}|{ver}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
-def run_py(code: str, timeout: int = 2400) -> None:
+def run_py(code: str, timeout: int = 5400) -> None:
     """Execute `code` with python in a 1-device CPU JAX environment; raises
     on nonzero exit with the captured output."""
     env = dict(os.environ)
+    # Drop the axon-tunnel trigger: this image's sitecustomize registers the
+    # tunneled TPU platform at interpreter start when PALLAS_AXON_POOL_IPS is
+    # set, and a dead/unresponsive tunnel then hangs `import jax` in every
+    # subprocess (observed: indefinite futex wait before main() runs). CPU
+    # subprocesses never want the tunnel.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     env["XLA_FLAGS"] = " ".join(

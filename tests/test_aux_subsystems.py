@@ -1,0 +1,166 @@
+"""Auxiliary-subsystem coverage (SURVEY.md §5): heartbeat/failure detection
+and retry (§5.3), pipelined proving (PP, §2.3), profiling hooks (§5.1),
+run-to-run determinism of the whole proof byte stream (§5.2), and the CLI
+(§5.6)."""
+
+import json
+import sys
+import time
+
+import pytest
+
+from blobstreamx_tpu.circuits import fixtures as fx, witness as wit
+from blobstreamx_tpu.prover import pipeline, serialize
+from blobstreamx_tpu.prover.config import StarkConfig
+from blobstreamx_tpu.prover.overlap import prove_pipelined
+from blobstreamx_tpu.utils import failure, profiling
+
+CFG = StarkConfig(
+    rate_bits=2, cap_height=1, num_query_rounds=8, proof_of_work_bits=2, final_poly_len=4
+)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return fx.generate_chain(seed=5, n_headers=10, n_validators=4, sign_fraction=1.0)
+
+
+class TestFailureDetection:
+    def test_heartbeat_records(self, tmp_path):
+        path = str(tmp_path / "hb.jsonl")
+        hb = failure.Heartbeat(path, run_id="t", interval=0.05).start()
+        time.sleep(0.2)
+        hb.stop()
+        recs = [json.loads(l) for l in open(path)]
+        events = [r["event"] for r in recs]
+        assert events[0] == "start" and events[-1] == "stop"
+        assert events.count("heartbeat") >= 1
+
+    def test_stall_detection(self, tmp_path):
+        path = str(tmp_path / "hb.jsonl")
+        assert failure.is_stalled(path, timeout=1)  # missing file
+        hb = failure.Heartbeat(path, run_id="t", interval=0.05).start()
+        time.sleep(0.1)
+        assert not failure.is_stalled(path, timeout=5)
+        hb.stop()
+        # clean stop is not a stall, however old
+        assert not failure.is_stalled(path, timeout=0)
+
+    def test_run_with_retry_recovers(self, tmp_path):
+        calls = {"n": 0}
+
+        def attempt():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected fault")
+            return "proof"
+
+        failures = []
+        out = failure.run_with_retry(
+            attempt,
+            attempts=2,
+            heartbeat_path=str(tmp_path / "hb.jsonl"),
+            run_id="r",
+            interval=10,
+            on_failure=lambda i, e: failures.append((i, str(e))),
+        )
+        assert out == "proof" and calls["n"] == 2
+        assert failures == [(0, "injected fault")]
+
+    def test_run_with_retry_exhausted(self):
+        def attempt():
+            raise RuntimeError("always")
+
+        with pytest.raises(RuntimeError, match="always"):
+            failure.run_with_retry(attempt, attempts=2)
+
+    def test_retry_resumes_from_checkpoint_dir(self, chain, tmp_path):
+        """A failed attempt leaves phase checkpoints behind; the retry with the
+        same dir completes and the phases recorded by attempt 1 are on disk."""
+        w = wit.build_skip_witness(chain, trusted_height=1, target_height=9)
+        ckpt = str(tmp_path / "ckpt")
+        state = {"tries": 0}
+
+        def attempt():
+            state["tries"] += 1
+            proof = pipeline.prove_skip(w, CFG, checkpoint_dir=ckpt)
+            if state["tries"] == 1:
+                raise RuntimeError("killed after prove")  # simulated host death
+            return proof
+
+        proof = failure.run_with_retry(attempt, attempts=2)
+        assert pipeline.verify_skip_proof(proof, CFG)
+
+
+class TestPipelinedProving:
+    def test_order_and_validity(self, chain):
+        jobs = [(1, 8), (2, 9), (1, 10)]
+        builders = (
+            (lambda a=a, b=b: wit.build_skip_witness(chain, a, b)) for a, b in jobs
+        )
+        proofs = list(prove_pipelined(builders, config=CFG, prefetch=2))
+        assert [p.outputs.target_height for p in proofs] == [8, 9, 10]
+        for p in proofs:
+            assert pipeline.verify_skip_proof(p, CFG)
+
+    def test_builder_exception_propagates(self):
+        def boom():
+            raise ValueError("bad witness")
+
+        with pytest.raises(ValueError, match="bad witness"):
+            list(prove_pipelined([boom], config=CFG))
+
+
+class TestDeterminism:
+    def test_proof_bytes_bit_identical(self, chain):
+        """SURVEY.md §5.2: run-to-run digest equality — integer-only compute
+        means two proofs of the same witness serialize to identical bytes."""
+        w = wit.build_skip_witness(chain, trusted_height=1, target_height=9)
+        a = serialize.skip_proof_to_bytes(pipeline.prove_skip(w, CFG))
+        b = serialize.skip_proof_to_bytes(pipeline.prove_skip(w, CFG))
+        assert a == b
+
+
+class TestProfiling:
+    def test_maybe_trace_noop(self):
+        with profiling.maybe_trace(None):
+            pass
+
+    def test_annotate(self):
+        with profiling.annotate("unit-test-region"):
+            pass
+
+    def test_memory_stats_shape(self):
+        stats = profiling.device_memory_stats()
+        assert isinstance(stats, dict)  # CPU backend: usually {}
+
+
+class TestCli:
+    COMMON = ["--rate-bits", "2", "--queries", "8", "--pow-bits", "2"]
+
+    def test_prove_and_verify_roundtrip(self, tmp_path, capsys):
+        from blobstreamx_tpu import __main__ as cli
+
+        out = str(tmp_path / "proof.bin")
+        rc = cli.main(
+            ["prove-skip", "--headers", "10", "--validators", "4", "--seed", "5",
+             "--trusted", "1", "--target", "9", "--out", out] + self.COMMON
+        )
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["workload"] == "skip" and len(rec["data_commitment"]) == 64
+
+        rc = cli.main(["verify-skip", "--proof", out] + self.COMMON)
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["ok"] is True
+
+    def test_config_plumbing(self):
+        from blobstreamx_tpu import __main__ as cli
+
+        class A:
+            rate_bits, cap_height, queries, pow_bits = 2, None, 9, None
+
+        cfg = cli._stark_config(A())
+        assert cfg.rate_bits == 2 and cfg.num_query_rounds == 9
+        assert cfg.cap_height == StarkConfig().cap_height

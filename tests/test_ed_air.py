@@ -3,6 +3,8 @@ golden RFC 8032 ladder, constraint-vanishing harness on the plain domain, and
 a full prove/verify roundtrip with claim-tamper probes (the roundtrip runs in
 a 1-device subprocess, like the SHA-256 STARK's)."""
 
+import random
+
 import numpy as np
 
 from blobstreamx_tpu.fields import gf64
@@ -10,9 +12,41 @@ from blobstreamx_tpu.golden import ed25519 as ged
 from blobstreamx_tpu.golden import goldilocks as gold
 from blobstreamx_tpu.golden.challenger import Challenger
 from blobstreamx_tpu.prover import ed_air
-from blobstreamx_tpu.prover.air import DeviceAlgebra
+from blobstreamx_tpu.prover.air import DeviceAlgebra, HostExtAlgebra
 
 P = gold.P
+
+
+class TestConstraintGroups:
+    def test_groups_concatenate_to_eval_constraints(self):
+        """Chunked-quotient invariant (Air.eval_constraint_group docstring):
+        the concatenation of the groups must equal eval_constraints exactly —
+        values, widths, kinds, order — else the grouped prover's alpha
+        assignment diverges from the verifier's."""
+        air = ed_air.EdScalarMulAir(1)
+        rng = random.Random(1)
+
+        def rv():
+            return (rng.randrange(P), rng.randrange(P))
+
+        local = [rv() for _ in range(air.n_cols)]
+        nxt = [rv() for _ in range(air.n_cols)]
+        kw = dict(
+            fixed=[rv() for _ in range(air.n_fixed)],
+            fixed_next=[rv() for _ in range(air.n_fixed)],
+            challenges=[rv() for _ in range(air.n_challenges)],
+            stage2=[rv() for _ in range(air.n_stage2)],
+            stage2_next=[rv() for _ in range(air.n_stage2)],
+        )
+        alg = HostExtAlgebra()
+        whole = air.eval_constraints(local, nxt, [], alg, **kw)
+        parts = []
+        for g in range(air.n_constraint_groups):
+            parts += air.eval_constraint_group(g, local, nxt, [], alg, **kw)
+        assert len(whole) == len(parts)
+        for i, ((v1, k1), (v2, k2)) in enumerate(zip(whole, parts)):
+            assert k1 == k2, f"kind mismatch at constraint {i}"
+            assert v1 == v2, f"value mismatch at constraint {i}"
 
 
 def _affine(p):

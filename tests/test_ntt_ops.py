@@ -96,3 +96,35 @@ class TestPallasFused:
         want = gf64.to_u64(dev.ntt_four_step(gf64.from_u64(x)))
         got = gf64.to_u64(dev.ntt_four_step_pallas(gf64.from_u64(x), interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+class TestPallasSplit:
+    """Split-butterfly fused kernel (ops.ntt.ntt_cols_pallas_split): same
+    contract as the roll kernel with half the twiddle multiplies."""
+
+    @pytest.mark.parametrize("log_n", [3, 6, 9])
+    def test_matches_ntt_cols(self, log_n):
+        rng = np.random.default_rng(80 + log_n)
+        n = 1 << log_n
+        x = rng.integers(0, gl.P, size=(n, 128), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_cols(enc_cols(x)))
+        got = gf64.to_u64(dev.ntt_cols_pallas_split(enc_cols(x), interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_inverse_matches(self):
+        rng = np.random.default_rng(81)
+        x = rng.integers(0, gl.P, size=(64, 128), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_cols(enc_cols(x), inverse=True))
+        got = gf64.to_u64(
+            dev.ntt_cols_pallas_split(enc_cols(x), inverse=True, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_four_step_split(self):
+        rng = np.random.default_rng(82)
+        x = rng.integers(0, gl.P, size=(1 << 10,), dtype=np.uint64)
+        want = gf64.to_u64(dev.ntt_four_step(gf64.from_u64(x)))
+        got = gf64.to_u64(
+            dev.ntt_four_step_pallas_split(gf64.from_u64(x), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
