@@ -55,6 +55,8 @@ def _maybe_profile(args):
 
 def cmd_prove_skip(args) -> int:
     from blobstreamx_tpu.models import skip
+    from blobstreamx_tpu.prover import serialize
+    from blobstreamx_tpu.prover.pipeline import claim_data_from_witness
     from blobstreamx_tpu.utils.metrics import MetricsWriter
 
     config = _stark_config(args)
@@ -70,6 +72,7 @@ def cmd_prove_skip(args) -> int:
         sign_heights={target},
     )
     w = skip.build_witness(chain, trusted_height=trusted, target_height=target)
+    sha_mode = "full" if args.sha_stark_full else bool(args.sha_stark)
     t0 = time.perf_counter()
     with _maybe_profile(args):
         proof = skip.prove(
@@ -77,7 +80,7 @@ def cmd_prove_skip(args) -> int:
             config=config,
             metrics=metrics,
             checkpoint_dir=args.checkpoint_dir,
-            with_sha_stark=args.sha_stark,
+            with_sha_stark=sha_mode,
             with_ed_stark=args.ed_stark,
         )
     wall = time.perf_counter() - t0
@@ -85,6 +88,9 @@ def cmd_prove_skip(args) -> int:
         blob = skip.to_bytes(proof)
         with open(args.out, "wb") as f:
             f.write(blob)
+    if args.claims_out:
+        with open(args.claims_out, "wb") as f:
+            f.write(serialize.claim_data_to_bytes(claim_data_from_witness(w)))
     print(proof.timing, file=sys.stderr)
     print(
         json.dumps(
@@ -92,11 +98,14 @@ def cmd_prove_skip(args) -> int:
                 "workload": "skip",
                 "headers": args.headers,
                 "validators": args.validators,
+                "sha_stark": "full" if sha_mode == "full" else ("tree" if sha_mode else "off"),
+                "ed_stark": bool(args.ed_stark),
                 "wall_s": wall,
                 "data_commitment": proof.outputs.data_commitment.hex(),
                 "target_root": proof.outputs.target_root.hex(),
                 "proof_bytes": len(skip.to_bytes(proof)) if not args.out else None,
                 "out": args.out,
+                "claims_out": args.claims_out,
             }
         )
     )
@@ -105,13 +114,22 @@ def cmd_prove_skip(args) -> int:
 
 def cmd_verify_skip(args) -> int:
     from blobstreamx_tpu.models import skip
+    from blobstreamx_tpu.prover import serialize
+    from blobstreamx_tpu.prover.pipeline import verify_skip_proof_detailed
 
     with open(args.proof, "rb") as f:
         proof = skip.from_bytes(f.read())
+    claims = None
+    if args.claims:
+        with open(args.claims, "rb") as f:
+            claims = serialize.claim_data_from_bytes(f.read())
     config = _stark_config(args)
     t0 = time.perf_counter()
-    ok = skip.verify(proof, config=config)
-    print(json.dumps({"ok": bool(ok), "verify_s": time.perf_counter() - t0}))
+    # detail says per sub-proof what was VERIFIED vs SKIPPED (a proof carrying
+    # aux STARKs verifies them only when --claims supplies the claimed witness
+    # data; without it the caller sees "skipped", not a silent ok)
+    ok, detail = verify_skip_proof_detailed(proof, config, claims)
+    print(json.dumps({"ok": bool(ok), "verify_s": time.perf_counter() - t0, **detail}))
     return 0 if ok else 1
 
 
@@ -155,9 +173,12 @@ def cmd_selftest(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from blobstreamx_tpu.parallel.distributed import add_distributed_args, maybe_initialize
+
     parser = argparse.ArgumentParser(prog="blobstreamx_tpu")
     parser.add_argument("--metrics", default=None, help="JSONL metrics path")
     parser.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    add_distributed_args(parser)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("prove-skip", help="prove a skip (h1 -> h2) relation")
@@ -167,14 +188,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", type=int, default=None)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--out", default=None)
+    p.add_argument("--claims-out", default=None, help="write the claim-data bundle (for verify-skip --claims)")
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--sha-stark", action="store_true")
+    p.add_argument("--sha-stark", action="store_true", help="prove the data-commitment tuple tree in the batched SHA-256 STARK")
+    p.add_argument("--sha-stark-full", action="store_true", help="prove EVERY SHA-256 of the skip relation in the batched STARK")
     p.add_argument("--ed-stark", action="store_true")
     _add_stark_config_args(p)
     p.set_defaults(fn=cmd_prove_skip)
 
     p = sub.add_parser("verify-skip", help="verify a serialized skip proof")
     p.add_argument("--proof", required=True)
+    p.add_argument("--claims", default=None, help="claim-data bundle enabling aux STARK verification")
     _add_stark_config_args(p)
     p.set_defaults(fn=cmd_verify_skip)
 
@@ -192,6 +216,8 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_selftest)
 
     args = parser.parse_args(argv)
+    # multi-host bring-up must precede any backend touch (SURVEY.md §5.8)
+    maybe_initialize(args)
     return args.fn(args)
 
 

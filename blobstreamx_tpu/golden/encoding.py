@@ -98,6 +98,109 @@ def encode_canonical_vote(
     return encode_varint(len(body)) + body
 
 
+def parse_canonical_vote(sign_bytes: bytes):
+    """Strict inverse of encode_canonical_vote. Returns the dataclass-free
+    tuple (height, round, block_hash, part_set_total, part_set_hash,
+    chain_id) or None if sign_bytes is not EXACTLY a canonically encoded
+    precommit vote (the re-encode check rejects any non-canonical variant, so
+    a verifier consuming claimed sign-bytes cannot be fed a malleated
+    encoding that hashes differently but parses the same)."""
+
+    def read_varint(b: bytes, i: int):
+        v = 0
+        shift = 0
+        while True:
+            if i >= len(b) or shift > 63:
+                return None
+            c = b[i]
+            v |= (c & 0x7F) << shift
+            i += 1
+            if not c & 0x80:
+                return v, i
+        return None
+
+    try:
+        r = read_varint(sign_bytes, 0)
+        if r is None:
+            return None
+        body_len, i = r
+        body = sign_bytes[i:]
+        if len(body) != body_len:
+            return None
+        i = 0
+        # field 1 varint: type (precommit)
+        if body[i] != (1 << 3):
+            return None
+        r = read_varint(body, i + 1)
+        if r is None or r[0] != PRECOMMIT_TYPE:
+            return None
+        i = r[1]
+        # field 2 sfixed64 height, field 3 sfixed64 round
+        if body[i] != (2 << 3 | 1):
+            return None
+        height = int.from_bytes(body[i + 1 : i + 9], "little")
+        i += 9
+        if body[i] != (3 << 3 | 1):
+            return None
+        round_ = int.from_bytes(body[i + 1 : i + 9], "little")
+        i += 9
+        # field 4 bytes: block_id
+        if body[i] != (4 << 3 | 2):
+            return None
+        r = read_varint(body, i + 1)
+        if r is None:
+            return None
+        blen, i = r
+        bid = body[i : i + blen]
+        i += blen
+        j = 0
+        if bid[j] != (1 << 3 | 2) or bid[j + 1] != 32:
+            return None
+        block_hash = bid[j + 2 : j + 34]
+        j += 34
+        if bid[j] != (2 << 3 | 2):
+            return None
+        r = read_varint(bid, j + 1)
+        if r is None:
+            return None
+        plen, j = r
+        parts = bid[j : j + plen]
+        if j + plen != len(bid):
+            return None
+        k = 0
+        part_set_total = 0
+        if parts and parts[0] == (1 << 3):
+            r = read_varint(parts, 1)
+            if r is None:
+                return None
+            part_set_total, k = r
+        if parts[k] != (2 << 3 | 2) or parts[k + 1] != 32:
+            return None
+        part_set_hash = parts[k + 2 : k + 34]
+        if k + 34 != len(parts):
+            return None
+        # field 6 bytes: chain_id (rest of body)
+        if body[i] != (6 << 3 | 2):
+            return None
+        r = read_varint(body, i + 1)
+        if r is None:
+            return None
+        clen, i = r
+        chain_id = body[i : i + clen].decode()
+        if i + clen != len(body):
+            return None
+    except (IndexError, UnicodeDecodeError):
+        return None
+    if (
+        encode_canonical_vote(
+            height, round_, block_hash, part_set_total, part_set_hash, chain_id
+        )
+        != sign_bytes
+    ):
+        return None
+    return height, round_, block_hash, part_set_total, part_set_hash, chain_id
+
+
 # --- Header -------------------------------------------------------------------
 
 

@@ -11,21 +11,44 @@ re-architected: no recursion, no circuit DSL):
   trace     host: lay out the consensus-arithmetic execution trace
   stark     device: DEEP-ALI prove over SkipAir                    (C8, C10)
 
-Trust model (stated precisely, as the docs promise): the DEEP-ALI STARK
-proves the *consensus arithmetic* — boolean signer masks, voting-power
-accumulators, their claimed totals — over a committed trace whose public
-inputs bind the trusted/target roots, heights, and the data commitment into
-the Fiat-Shamir transcript. The hash/signature facts (SHA-256 trees, Ed25519
-batch equation) are established by bit-exact deterministic device
-recomputation in the same pipeline (upstream delegated these to Curta
-auxiliary STARKs, SURVEY.md §2.2 C4/C6 [R]; prover.sha_air is this
-framework's first step on that path). verify_skip_proof() re-checks the
-STARK, the threshold inequalities over the public integers, and recomputes
-nothing heavier than transcripts.
+Trust model (stated precisely, as the docs promise). Three tiers, selected
+by prove_skip flags:
+
+  default              the DEEP-ALI STARK proves the *consensus arithmetic*
+                       — boolean signer masks, voting-power accumulators,
+                       their claimed totals — over a committed trace whose
+                       public inputs bind the trusted/target roots, heights,
+                       and the data commitment into the Fiat-Shamir
+                       transcript. Hash/signature facts are established by
+                       bit-exact deterministic device recomputation.
+  with_sha_stark=True  additionally proves the data-commitment tuple tree's
+                       hashes in the batched SHA-256 STARK (prover.sha_claims).
+  with_sha_stark="full" proves EVERY SHA-256 of the skip relation — both
+                       validator-set trees, the validators_hash inclusion
+                       paths, every chain link and data_hash path, and the
+                       tuple tree — in one batched STARK (prover.skip_claims;
+                       the Curta-parity trust story, SURVEY.md §2.2
+                       C4/C15/C16 [R]).
+  with_ed_stark=True   proves the Ed25519 signature batch equation in the
+                       scalar-mul STARK (prover.ed_claims).
+
+Bundle binding: the aux STARKs are proven FIRST and a SHA-256 digest of each
+aux claim list enters the main SkipAir STARK's public inputs (publics
+30..37 / 38..45), so the three transcripts form one tamper-evident object —
+swapping an aux proof from a different skip proof is rejected by the digest
+check before any claim walking (the CTL-binding analog).
+
+verify_skip_proof() re-checks the STARK(s), the threshold inequalities over
+the public integers, the digest binding, and — given the claimed witness
+data (validator lists, header range, signature triples) — walks every aux
+claim, recomputing nothing heavier than transcripts: with
+with_sha_stark="full" + with_ed_stark the verifier performs NO SHA-256 tree
+hashing and NO scalar multiplication itself.
 """
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -54,14 +77,16 @@ class SkipAir(Air):
 
     Publics: [0] signed_target, [1] total_target, [2] signed_trusted,
     [3] total_trusted, then 8 u32 words each of trusted_root, target_root,
-    data_commitment, then trusted_height, target_height (30 total). Only
-    0-3 appear in constraints; the rest are transcript-bound (stark.prove
-    observes every public before sampling alpha).
+    data_commitment, then trusted_height, target_height, then 8 u32 words
+    each of the SHA and Ed25519 aux-claim digests (zero when the aux STARK
+    is absent) — 46 total. Only 0-3 appear in constraints; the rest are
+    transcript-bound (stark.prove observes every public before sampling
+    alpha), which is what binds the aux STARKs' claim lists to THIS proof.
     """
 
     n_cols = 8
     max_degree = 2
-    N_PUBLICS = 30
+    N_PUBLICS = 46
 
     def eval_constraints(self, local, nxt, publics, alg, **frame):
         tp, tb, ta, tt, rp, rb, ra, rt = local
@@ -117,7 +142,47 @@ def _pack_bytes32(b: bytes) -> list[int]:
     return [int.from_bytes(b[i : i + 4], "big") for i in range(0, 32, 4)]
 
 
-def skip_publics(res_outputs: SkipPublicOutputs, res: SkipCheckResult) -> list[int]:
+def sha_claim_digest(sha_proof) -> bytes:
+    """Canonical SHA-256 digest of a batched-SHA STARK's claim list (the aux
+    (message-words, digest) stream plus, for the full-coverage proof, its
+    claimed link fields). Bound into the main STARK's publics so the aux
+    proof cannot be swapped across skip proofs. bytes(32) when absent."""
+    if sha_proof is None:
+        return bytes(32)
+    h = hashlib.sha256()
+    h.update(b"full" if hasattr(sha_proof, "link_fields") else b"tree")
+    h.update(int(sha_proof.n_rows).to_bytes(8, "big"))
+    for w, o in sha_proof.aux:
+        for v in list(w) + list(o):
+            h.update(int(v).to_bytes(4, "big"))
+    for total, psh in getattr(sha_proof, "link_fields", []):
+        h.update(int(total).to_bytes(8, "big"))
+        h.update(bytes(psh))
+    return h.digest()
+
+
+def ed_claim_digest(ed_proof) -> bytes:
+    """Canonical digest of the Ed25519 scalar-mul STARK's claim list
+    ((scalar, point, result) per segment). bytes(32) when absent."""
+    if ed_proof is None:
+        return bytes(32)
+    h = hashlib.sha256()
+    h.update(int(ed_proof.n_rows).to_bytes(8, "big"))
+    for s, pt, out in ed_proof.aux:
+        h.update(int(s).to_bytes(32, "little"))
+        h.update(int(pt[0]).to_bytes(32, "little"))
+        h.update(int(pt[1]).to_bytes(32, "little"))
+        for v in out:
+            h.update(int(v).to_bytes(32, "little"))
+    return h.digest()
+
+
+def skip_publics(
+    res_outputs: SkipPublicOutputs,
+    res: SkipCheckResult,
+    sha_digest: bytes = bytes(32),
+    ed_digest: bytes = bytes(32),
+) -> list[int]:
     return (
         [
             res.signed_target_power,
@@ -129,6 +194,8 @@ def skip_publics(res_outputs: SkipPublicOutputs, res: SkipCheckResult) -> list[i
         + _pack_bytes32(res_outputs.target_root)
         + _pack_bytes32(res_outputs.data_commitment)
         + [res_outputs.trusted_height, res_outputs.target_height]
+        + _pack_bytes32(sha_digest)
+        + _pack_bytes32(ed_digest)
     )
 
 
@@ -167,7 +234,7 @@ class SkipProof:
     ed_stark: object | None = None
 
 
-PHASES = ["consensus", "trace", "stark", "sha_stark", "ed_stark"]
+PHASES = ["consensus", "trace", "sha_stark", "ed_stark", "stark"]
 
 
 def signature_items(witness: SkipWitness) -> list[tuple[bytes, bytes, bytes]]:
@@ -183,74 +250,217 @@ def signature_items(witness: SkipWitness) -> list[tuple[bytes, bytes, bytes]]:
     ]
 
 
+def witness_fingerprint(witness: SkipWitness) -> bytes:
+    """Digest of every witness field that influences the proof — the resume
+    key guard: a phase checkpoint written for a different witness (or a
+    mutated copy) must never be reused (SURVEY.md §5.4)."""
+    w = witness
+    h = hashlib.sha256()
+    h.update(int(w.trusted_height).to_bytes(8, "big"))
+    h.update(int(w.target_height).to_bytes(8, "big"))
+    h.update(w.trusted_root)
+    h.update(w.target_root)
+    for vs in (w.trusted_set, w.target_set):
+        for pk, p in zip(vs.pubkeys, vs.powers):
+            h.update(pk)
+            h.update(int(p).to_bytes(8, "big"))
+    h.update(w.sign_bytes)
+    for sig in w.signatures:
+        h.update(len(sig).to_bytes(2, "big"))
+        h.update(sig)
+    h.update(np.asarray(w.target_signed, np.uint8).tobytes())
+    h.update(np.asarray(w.trusted_signed, np.uint8).tobytes())
+    for arr in (
+        w.valset_inclusions.siblings,
+        w.data_hash_inclusions.siblings,
+        w.chain_links.blocks,
+        w.chain_links.siblings,
+    ):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(np.asarray(w.range_heights, np.uint64).tobytes())
+    for d in w.range_data_hashes:
+        h.update(d)
+    return h.digest()
+
+
+def _proof_bytes_arr(obj_dict: dict) -> np.ndarray:
+    import json
+
+    return np.frombuffer(json.dumps(obj_dict, separators=(",", ":")).encode(), np.uint8)
+
+
+def _proof_from_arr(arr: np.ndarray) -> dict:
+    import json
+
+    return json.loads(bytes(arr.tobytes()).decode())
+
+
 def prove_skip(
     witness: SkipWitness,
     config: StarkConfig | None = None,
     mesh=None,
     metrics: MetricsWriter | None = None,
     checkpoint_dir: str | None = None,
-    with_sha_stark: bool = False,
+    with_sha_stark: bool | str = False,
     with_ed_stark: bool = False,
 ) -> SkipProof:
     """Full config-5 pipeline. Raises ValueError (fail-stop, SURVEY.md §5.3)
-    if the witness does not satisfy the skip relation. with_sha_stark=True
-    additionally proves the data-commitment tuple tree's hashes in the
-    batched SHA-256 STARK instead of trusting device recomputation;
-    with_ed_stark=True likewise proves the signature batch equation in the
-    Ed25519 scalar-mul STARK (prover.ed_claims)."""
+    if the witness does not satisfy the skip relation.
+
+    with_sha_stark: False | True (data-commitment tuple tree proven in the
+    batched SHA-256 STARK) | "full" (EVERY hash of the skip relation proven,
+    prover.skip_claims). with_ed_stark=True proves the signature batch
+    equation in the Ed25519 scalar-mul STARK (prover.ed_claims).
+
+    Resume (SURVEY.md §5.4): with checkpoint_dir set, every completed phase
+    persists its artifact keyed by (witness fingerprint, config, flags); a
+    retry after a crash loads completed phases — including whole aux STARK
+    proofs — instead of re-proving them (see utils.failure.run_with_retry)."""
     config = config or StarkConfig()
     metrics = metrics or MetricsWriter(None)
-    ckpt = PhaseCheckpointer(checkpoint_dir, metrics.run_id)
     timing = TimingTree("prove_skip")
+    from blobstreamx_tpu.prover import serialize
 
-    with timing.scope(
-        "consensus", items=len(witness.range_heights), unit="headers"
-    ):
-        res = verify_skip(witness, mesh=mesh)
-    if not res.ok:
-        metrics.emit("skip_rejected", reasons=res.reasons)
-        raise ValueError(f"skip relation unsatisfied: {res.reasons}")
-    ckpt.save(
-        "consensus",
-        scalars={
-            "signed_target": res.signed_target_power,
-            "total_target": res.total_target_power,
-            "signed_trusted": res.signed_trusted_power,
-            "total_trusted": res.total_trusted_power,
-            "data_commitment": res.outputs.data_commitment.hex(),
-        },
-    )
+    key = hashlib.sha256(
+        witness_fingerprint(witness)
+        + repr(config).encode()
+        + f"|sha={with_sha_stark}|ed={with_ed_stark}".encode()
+    ).hexdigest()[:32]
+    # checkpoint dir keyed by the proof identity (NOT the per-run id): a
+    # retry of the same (witness, config, flags) — same process or not —
+    # finds the previous attempt's completed phases (SURVEY.md §5.4)
+    ckpt = PhaseCheckpointer(checkpoint_dir, f"skip-{key}")
 
-    with timing.scope("trace"):
-        trace = build_skip_trace(res)
-        publics = skip_publics(res.outputs, res)
-    ckpt.save("trace", arrays={"trace": trace})
+    def load(phase: str):
+        r = ckpt.load(phase)
+        return r if r is not None and r[1].get("key") == key else None
 
-    with timing.scope("stark", items=trace.shape[0], unit="rows"):
-        proof = stark.prove(SkipAir(), trace, publics, config)
-    ckpt.save("stark", scalars={"done": 1})
+    # --- consensus + trace (device recomputation of the relation) ----------
+    saved_trace = load("trace")
+    saved_cons = load("consensus")
+    if saved_trace is not None and saved_cons is not None:
+        arrays, scalars = saved_cons
+        outputs = SkipPublicOutputs(
+            trusted_height=int(scalars["trusted_height"]),
+            trusted_root=bytes.fromhex(scalars["trusted_root"]),
+            target_height=int(scalars["target_height"]),
+            target_root=bytes.fromhex(scalars["target_root"]),
+            data_commitment=bytes.fromhex(scalars["data_commitment"]),
+        )
+        res = SkipCheckResult(
+            ok=True,
+            reasons=[],
+            outputs=outputs,
+            target_powers=arrays["target_powers"],
+            target_signed=arrays["target_signed"].astype(bool),
+            trusted_powers=arrays["trusted_powers"],
+            trusted_signed=arrays["trusted_signed"].astype(bool),
+            signed_target_power=int(scalars["signed_target"]),
+            total_target_power=int(scalars["total_target"]),
+            signed_trusted_power=int(scalars["signed_trusted"]),
+            total_trusted_power=int(scalars["total_trusted"]),
+        )
+        trace = saved_trace[0]["trace"]
+        timing.note("consensus+trace resumed from checkpoint")
+    else:
+        with timing.scope(
+            "consensus", items=len(witness.range_heights), unit="headers"
+        ):
+            res = verify_skip(witness, mesh=mesh)
+        if not res.ok:
+            metrics.emit("skip_rejected", reasons=res.reasons)
+            raise ValueError(f"skip relation unsatisfied: {res.reasons}")
+        ckpt.save(
+            "consensus",
+            arrays={
+                "target_powers": np.asarray(res.target_powers, np.uint64),
+                "target_signed": np.asarray(res.target_signed, np.uint8),
+                "trusted_powers": np.asarray(res.trusted_powers, np.uint64),
+                "trusted_signed": np.asarray(res.trusted_signed, np.uint8),
+            },
+            scalars={
+                "key": key,
+                "signed_target": res.signed_target_power,
+                "total_target": res.total_target_power,
+                "signed_trusted": res.signed_trusted_power,
+                "total_trusted": res.total_trusted_power,
+                "trusted_height": res.outputs.trusted_height,
+                "trusted_root": res.outputs.trusted_root.hex(),
+                "target_height": res.outputs.target_height,
+                "target_root": res.outputs.target_root.hex(),
+                "data_commitment": res.outputs.data_commitment.hex(),
+            },
+        )
+        with timing.scope("trace"):
+            trace = build_skip_trace(res)
+        ckpt.save("trace", arrays={"trace": trace}, scalars={"key": key})
 
+    # --- aux STARKs (proven BEFORE the main STARK so their claim digests
+    #     enter its transcript — the bundle-binding CTL analog) -------------
     sha_proof = None
     if with_sha_stark:
-        from blobstreamx_tpu.prover import sha_claims
+        saved = load("sha_stark")
+        if saved is not None:
+            sha_proof = serialize.sha_claims_from_dict(_proof_from_arr(saved[0]["proof"]))
+            timing.note("sha_stark resumed from checkpoint")
+        elif with_sha_stark == "full":
+            from blobstreamx_tpu.prover import skip_claims
 
-        heights = [int(h) for h in witness.range_heights]
-        with timing.scope("sha_stark", items=len(heights), unit="leaves"):
-            sha_proof, sha_root = sha_claims.prove_data_commitment_stark(
-                heights, witness.range_data_hashes, config
+            with timing.scope(
+                "sha_stark", items=len(witness.range_heights), unit="headers"
+            ):
+                sha_proof = skip_claims.prove_skip_sha_stark(witness, config)
+        else:
+            from blobstreamx_tpu.prover import sha_claims
+
+            heights = [int(h) for h in witness.range_heights]
+            with timing.scope("sha_stark", items=len(heights), unit="leaves"):
+                sha_proof, sha_root = sha_claims.prove_data_commitment_stark(
+                    heights, witness.range_data_hashes, config
+                )
+            if sha_root != res.outputs.data_commitment:
+                raise ValueError("sha-stark root mismatch vs device data commitment")
+        if saved is None:
+            ckpt.save(
+                "sha_stark",
+                arrays={"proof": _proof_bytes_arr(serialize.sha_claims_to_dict(sha_proof))},
+                scalars={"key": key},
             )
-        if sha_root != res.outputs.data_commitment:
-            raise ValueError("sha-stark root mismatch vs device data commitment")
-    ckpt.save("sha_stark", scalars={"done": 1})
 
     ed_proof = None
     if with_ed_stark:
-        from blobstreamx_tpu.prover import ed_claims
+        saved = load("ed_stark")
+        if saved is not None:
+            ed_proof = serialize.ed_claims_from_dict(_proof_from_arr(saved[0]["proof"]))
+            timing.note("ed_stark resumed from checkpoint")
+        else:
+            from blobstreamx_tpu.prover import ed_claims
 
-        items = signature_items(witness)
-        with timing.scope("ed_stark", items=len(items), unit="signatures"):
-            ed_proof = ed_claims.prove_batch_stark(items, config=config, mesh=mesh)
-    ckpt.save("ed_stark", scalars={"done": 1})
+            items = signature_items(witness)
+            with timing.scope("ed_stark", items=len(items), unit="signatures"):
+                ed_proof = ed_claims.prove_batch_stark(items, config=config, mesh=mesh)
+            ckpt.save(
+                "ed_stark",
+                arrays={"proof": _proof_bytes_arr(serialize.ed_claims_to_dict(ed_proof))},
+                scalars={"key": key},
+            )
+
+    # --- main STARK: publics bind outputs + aux claim digests --------------
+    publics = skip_publics(
+        res.outputs, res, sha_claim_digest(sha_proof), ed_claim_digest(ed_proof)
+    )
+    saved = load("stark")
+    if saved is not None and saved[1].get("publics") == [int(v) for v in publics]:
+        proof = serialize.stark_proof_from_dict(_proof_from_arr(saved[0]["proof"]))
+        timing.note("stark resumed from checkpoint")
+    else:
+        with timing.scope("stark", items=trace.shape[0], unit="rows"):
+            proof = stark.prove(SkipAir(), trace, publics, config, mesh=mesh)
+        ckpt.save(
+            "stark",
+            arrays={"proof": _proof_bytes_arr(serialize.stark_proof_to_dict(proof))},
+            scalars={"key": key, "publics": [int(v) for v in publics]},
+        )
 
     timing.finish()
     metrics.emit_timing(
@@ -355,55 +565,224 @@ def verify_step_proof(proof: StepProof, config: StarkConfig | None = None) -> bo
     return stark.verify(StepAir(), proof.stark, pub, config, proof.n_rows)
 
 
+@dataclass
+class SkipClaimData:
+    """Claimed witness data the verifier needs to walk the aux STARK claims
+    (all untrusted hints — every field is checked against the STARK-proven
+    claims and the public inputs before it influences the verdict)."""
+
+    range_heights: list[int] | None = None
+    range_data_hashes: list[bytes] | None = None
+    sign_items: list[tuple[bytes, bytes, bytes]] | None = None  # (pk, msg, sig)
+    trusted_vals: list[tuple[bytes, int]] | None = None  # (pubkey, power)
+    target_vals: list[tuple[bytes, int]] | None = None
+
+
+def claim_data_from_witness(witness: SkipWitness) -> SkipClaimData:
+    """The claim hints a proof carrier would ship alongside a skip proof."""
+    return SkipClaimData(
+        range_heights=[int(h) for h in witness.range_heights],
+        range_data_hashes=list(witness.range_data_hashes),
+        sign_items=signature_items(witness),
+        trusted_vals=[
+            (pk, int(p))
+            for pk, p in zip(witness.trusted_set.pubkeys, witness.trusted_set.powers)
+        ],
+        target_vals=[
+            (pk, int(p))
+            for pk, p in zip(witness.target_set.pubkeys, witness.target_set.powers)
+        ],
+    )
+
+
+def _check_signer_binding(proof: SkipProof, claims: SkipClaimData) -> str:
+    """Cross-check the claimed signature batch against the claimed validator
+    lists and the PUBLIC power sums — pure host arithmetic + strict protobuf
+    parsing, no hashing, no curve ops.
+
+    Together with the full SHA STARK (validator lists hash to the public
+    header roots) and the Ed25519 STARK (those signatures verify), this
+    closes the binding loop: publics[0..3], which the consensus STARK pins to
+    its accumulator trace, must equal the sums derived from the proven lists
+    and signer set. Returns "ok" or a failure reason."""
+    from blobstreamx_tpu.golden import encoding as enc
+
+    out = proof.outputs
+    items = claims.sign_items
+    # one shared canonical message naming the target header
+    msgs = {msg for _, msg, _ in items}
+    if len(msgs) != 1:
+        return "signers disagree on the signed message"
+    vote = enc.parse_canonical_vote(next(iter(msgs)))
+    if vote is None:
+        return "sign-bytes is not a canonical precommit vote"
+    height, _round, block_hash = vote[0], vote[1], vote[2]
+    if block_hash != out.target_root:
+        return "vote does not name the public target root"
+    if height != out.target_height:
+        return "vote height mismatch"
+    # distinct signers, all members of the claimed target set
+    target_power = dict()
+    for pk, p in claims.target_vals:
+        if pk in target_power:
+            return "duplicate pubkey in target validator list"
+        target_power[pk] = int(p)
+    trusted_power = dict()
+    for pk, p in claims.trusted_vals:
+        if pk in trusted_power:
+            return "duplicate pubkey in trusted validator list"
+        trusted_power[pk] = int(p)
+    signers = set()
+    for pk, _msg, _sig in items:
+        if pk in signers:
+            return "duplicate signer"
+        if pk not in target_power:
+            return "signer not in target validator set"
+        signers.add(pk)
+    signed_t = sum(target_power[pk] for pk in signers)
+    total_t = sum(target_power.values())
+    signed_r = sum(p for pk, p in trusted_power.items() if pk in signers)
+    total_r = sum(trusted_power.values())
+    if [signed_t, total_t, signed_r, total_r] != proof.publics[:4]:
+        return "claimed lists disagree with the public power sums"
+    return "ok"
+
+
+def verify_skip_proof_detailed(
+    proof: SkipProof,
+    config: StarkConfig | None = None,
+    claims: SkipClaimData | None = None,
+) -> tuple[bool, dict]:
+    """Host verifier. Returns (ok, detail) where detail records exactly what
+    was checked vs skipped for each sub-proof (so a caller can distinguish
+    'aux STARK verified' from 'aux STARK present but claims unavailable').
+
+    Always checked: the main STARK transcript, threshold inequalities,
+    public consistency, and the aux-claim DIGEST binding (publics 30..45) —
+    a stripped or swapped aux proof fails here even without claim data.
+
+    With claims supplied: the SHA STARK's claim walk (tuple tree, or the
+    full-coverage walk for "full" proofs — validator trees, inclusion paths,
+    chain links — anchored at the public roots), the Ed25519 STARK's batch
+    equation, and the signer/power binding between the claimed lists and the
+    public sums."""
+    config = config or StarkConfig()
+    detail = {
+        "stark": "unchecked",
+        "sha_stark": "absent" if proof.sha_stark is None else "present",
+        "ed_stark": "absent" if proof.ed_stark is None else "present",
+        "binding": "skipped: claim data not supplied",
+    }
+    pub = proof.publics
+    if len(pub) != SkipAir.N_PUBLICS:
+        detail["stark"] = "failed: wrong public count"
+        return False, detail
+    signed_t, total_t, signed_r, total_r = pub[:4]
+    if not (signed_t * 3 > total_t * 2 and signed_r * 3 > total_r):
+        detail["stark"] = "failed: threshold inequality"
+        return False, detail
+    out = proof.outputs
+    if (
+        pub[4:12] != _pack_bytes32(out.trusted_root)
+        or pub[12:20] != _pack_bytes32(out.target_root)
+        or pub[20:28] != _pack_bytes32(out.data_commitment)
+        or pub[28:30] != [out.trusted_height, out.target_height]
+    ):
+        detail["stark"] = "failed: outputs disagree with publics"
+        return False, detail
+    if out.target_height <= out.trusted_height:
+        detail["stark"] = "failed: non-increasing height"
+        return False, detail
+    # digest binding: the aux claim lists this proof was made with
+    if pub[30:38] != _pack_bytes32(sha_claim_digest(proof.sha_stark)):
+        detail["sha_stark"] = "failed: claim digest not bound in transcript"
+        return False, detail
+    if pub[38:46] != _pack_bytes32(ed_claim_digest(proof.ed_stark)):
+        detail["ed_stark"] = "failed: claim digest not bound in transcript"
+        return False, detail
+    if not stark.verify(SkipAir(), proof.stark, pub, config, proof.n_rows):
+        detail["stark"] = "failed: STARK rejected"
+        return False, detail
+    detail["stark"] = "ok"
+
+    if proof.sha_stark is not None:
+        is_full = hasattr(proof.sha_stark, "link_fields")
+        have_range = claims is not None and claims.range_heights is not None
+        if is_full and have_range and claims.trusted_vals is not None:
+            from blobstreamx_tpu.prover import skip_claims
+
+            if not skip_claims.verify_skip_sha_stark(
+                proof.sha_stark,
+                trusted_root=out.trusted_root,
+                target_root=out.target_root,
+                trusted_vals=claims.trusted_vals,
+                target_vals=claims.target_vals,
+                range_heights=[int(h) for h in claims.range_heights],
+                range_data_hashes=claims.range_data_hashes,
+                data_commitment=out.data_commitment,
+                config=config,
+            ):
+                detail["sha_stark"] = "failed: full claim walk rejected"
+                return False, detail
+            detail["sha_stark"] = "ok: full coverage"
+        elif not is_full and have_range:
+            from blobstreamx_tpu.prover import sha_claims
+
+            if not sha_claims.verify_data_commitment_stark(
+                proof.sha_stark,
+                [int(h) for h in claims.range_heights],
+                claims.range_data_hashes,
+                out.data_commitment,
+                config,
+            ):
+                detail["sha_stark"] = "failed: tuple-tree claim walk rejected"
+                return False, detail
+            detail["sha_stark"] = "ok: tuple tree"
+        else:
+            detail["sha_stark"] = "skipped: claim data not supplied"
+
+    if proof.ed_stark is not None:
+        if claims is not None and claims.sign_items is not None:
+            from blobstreamx_tpu.prover import ed_claims
+
+            if not ed_claims.verify_batch_stark(
+                proof.ed_stark, claims.sign_items, config=config
+            ):
+                detail["ed_stark"] = "failed: batch equation rejected"
+                return False, detail
+            detail["ed_stark"] = "ok"
+        else:
+            detail["ed_stark"] = "skipped: claim data not supplied"
+
+    if (
+        claims is not None
+        and claims.sign_items is not None
+        and claims.trusted_vals is not None
+        and claims.target_vals is not None
+    ):
+        r = _check_signer_binding(proof, claims)
+        detail["binding"] = r if r == "ok" else f"failed: {r}"
+        if r != "ok":
+            return False, detail
+    return True, detail
+
+
 def verify_skip_proof(
     proof: SkipProof,
     config: StarkConfig | None = None,
     range_heights: list[int] | None = None,
     range_data_hashes: list[bytes] | None = None,
     sign_items: list[tuple[bytes, bytes, bytes]] | None = None,
+    claims: SkipClaimData | None = None,
 ) -> bool:
-    """Host verifier: STARK transcript + threshold inequalities + public
-    consistency (roots/heights/commitment are bound by the transcript).
-    When the proof carries a sha_stark and the verifier supplies the claimed
-    range (heights, data_hashes), the data commitment's hash tree is checked
-    against the batched SHA-256 STARK as well; when it carries an ed_stark
-    and the verifier supplies the claimed (pubkey, message, signature)
-    triples, the signature batch equation is checked against the Ed25519
-    scalar-mul STARK (the verifier performs no scalar multiplications)."""
-    config = config or StarkConfig()
-    pub = proof.publics
-    if len(pub) != SkipAir.N_PUBLICS:
-        return False
-    signed_t, total_t, signed_r, total_r = pub[:4]
-    if not (signed_t * 3 > total_t * 2 and signed_r * 3 > total_r):
-        return False
-    out = proof.outputs
-    if pub[4:12] != _pack_bytes32(out.trusted_root):
-        return False
-    if pub[12:20] != _pack_bytes32(out.target_root):
-        return False
-    if pub[20:28] != _pack_bytes32(out.data_commitment):
-        return False
-    if pub[28:] != [out.trusted_height, out.target_height]:
-        return False
-    if out.target_height <= out.trusted_height:
-        return False
-    if not stark.verify(SkipAir(), proof.stark, pub, config, proof.n_rows):
-        return False
-    if proof.sha_stark is not None and range_heights is not None:
-        from blobstreamx_tpu.prover import sha_claims
-
-        if not sha_claims.verify_data_commitment_stark(
-            proof.sha_stark,
-            [int(h) for h in range_heights],
-            range_data_hashes,
-            out.data_commitment,
-            config,
-        ):
-            return False
-    if proof.ed_stark is not None and sign_items is not None:
-        from blobstreamx_tpu.prover import ed_claims
-
-        if not ed_claims.verify_batch_stark(proof.ed_stark, sign_items, config=config):
-            return False
-    return True
+    """Boolean wrapper over verify_skip_proof_detailed (kept for callers that
+    don't need the per-sub-proof report). The legacy keyword args fold into a
+    SkipClaimData."""
+    if claims is None and (range_heights is not None or sign_items is not None):
+        claims = SkipClaimData(
+            range_heights=range_heights,
+            range_data_hashes=range_data_hashes,
+            sign_items=sign_items,
+        )
+    ok, _ = verify_skip_proof_detailed(proof, config, claims)
+    return ok

@@ -117,6 +117,108 @@ def stark_proof_from_bytes(b: bytes) -> stark.StarkProof:
     return stark_proof_from_dict(json.loads(b))
 
 
+def sha_claims_to_dict(p) -> dict:
+    """Serialize a sha_claims.ShaStarkProof or skip_claims.SkipShaProof (the
+    full-coverage variant additionally carries its claimed link fields)."""
+    d = {
+        "stark": stark_proof_to_dict(p.stark),
+        "aux": [[list(map(int, w)), list(map(int, o))] for w, o in p.aux],
+        "n_rows": int(p.n_rows),
+    }
+    if hasattr(p, "link_fields"):
+        d["link_fields"] = [[int(t), psh.hex()] for t, psh in p.link_fields]
+    return d
+
+
+def sha_claims_from_dict(d: dict):
+    from blobstreamx_tpu.prover.sha_claims import ShaStarkProof
+
+    kw = dict(
+        stark=stark_proof_from_dict(d["stark"]),
+        aux=[(tuple(w), tuple(o)) for w, o in d["aux"]],
+        n_rows=int(d["n_rows"]),
+    )
+    if "link_fields" in d:
+        from blobstreamx_tpu.prover.skip_claims import SkipShaProof
+
+        return SkipShaProof(
+            link_fields=[(int(t), bytes.fromhex(psh)) for t, psh in d["link_fields"]],
+            **kw,
+        )
+    return ShaStarkProof(**kw)
+
+
+def ed_claims_to_dict(p) -> dict:
+    # aux per segment: (scalar, (px, py), (X, Y, Z, T)) — python bigints,
+    # JSON-exact (decimal strings would be redundant; json ints are
+    # arbitrary precision)
+    return {
+        "stark": stark_proof_to_dict(p.stark),
+        "aux": [
+            [int(s), [int(pt[0]), int(pt[1])], [int(v) for v in out]]
+            for s, pt, out in p.aux
+        ],
+        "n_rows": int(p.n_rows),
+    }
+
+
+def ed_claims_from_dict(d: dict):
+    from blobstreamx_tpu.prover.ed_claims import EdStarkProof
+
+    return EdStarkProof(
+        stark=stark_proof_from_dict(d["stark"]),
+        aux=[
+            (int(s), (int(pt[0]), int(pt[1])), tuple(int(v) for v in out))
+            for s, pt, out in d["aux"]
+        ],
+        n_rows=int(d["n_rows"]),
+    )
+
+
+def claim_data_to_bytes(c) -> bytes:
+    """Serialize a pipeline.SkipClaimData — the untrusted hint bundle a proof
+    carrier ships so a verifier can walk the aux STARK claims."""
+    d = {"schema": SCHEMA, "kind": "skip_claims"}
+    if c.range_heights is not None:
+        d["range_heights"] = [int(h) for h in c.range_heights]
+    if c.range_data_hashes is not None:
+        d["range_data_hashes"] = [bytes(h).hex() for h in c.range_data_hashes]
+    if c.sign_items is not None:
+        d["sign_items"] = [
+            [pk.hex(), msg.hex(), sig.hex()] for pk, msg, sig in c.sign_items
+        ]
+    if c.trusted_vals is not None:
+        d["trusted_vals"] = [[pk.hex(), int(p)] for pk, p in c.trusted_vals]
+    if c.target_vals is not None:
+        d["target_vals"] = [[pk.hex(), int(p)] for pk, p in c.target_vals]
+    return json.dumps(d, separators=(",", ":")).encode()
+
+
+def claim_data_from_bytes(b: bytes):
+    from blobstreamx_tpu.prover.pipeline import SkipClaimData
+
+    d = json.loads(b)
+    assert d.get("schema") == SCHEMA and d.get("kind") == "skip_claims"
+    return SkipClaimData(
+        range_heights=d.get("range_heights"),
+        range_data_hashes=None
+        if "range_data_hashes" not in d
+        else [bytes.fromhex(h) for h in d["range_data_hashes"]],
+        sign_items=None
+        if "sign_items" not in d
+        else [
+            (bytes.fromhex(pk), bytes.fromhex(msg), bytes.fromhex(sig))
+            for pk, msg, sig in d["sign_items"]
+        ],
+        trusted_vals=None
+        if "trusted_vals" not in d
+        else [(bytes.fromhex(pk), int(p)) for pk, p in d["trusted_vals"]],
+        target_vals=None
+        if "target_vals" not in d
+        else [(bytes.fromhex(pk), int(p)) for pk, p in d["target_vals"]],
+    )
+
+
 def skip_proof_to_bytes(p) -> bytes:
     """Serialize a pipeline.SkipProof (sha_stark aux included when present)."""
     d = {
@@ -134,30 +236,15 @@ def skip_proof_to_bytes(p) -> bytes:
         "stark": stark_proof_to_dict(p.stark),
     }
     if p.sha_stark is not None:
-        d["sha_stark"] = {
-            "stark": stark_proof_to_dict(p.sha_stark.stark),
-            "aux": [[list(map(int, w)), list(map(int, o))] for w, o in p.sha_stark.aux],
-            "n_rows": int(p.sha_stark.n_rows),
-        }
+        d["sha_stark"] = sha_claims_to_dict(p.sha_stark)
     if p.ed_stark is not None:
-        # aux per segment: (scalar, (px, py), (X, Y, Z, T)) — python bigints,
-        # JSON-exact (decimal strings would be redundant; json ints are
-        # arbitrary precision)
-        d["ed_stark"] = {
-            "stark": stark_proof_to_dict(p.ed_stark.stark),
-            "aux": [
-                [int(s), [int(pt[0]), int(pt[1])], [int(v) for v in out]]
-                for s, pt, out in p.ed_stark.aux
-            ],
-            "n_rows": int(p.ed_stark.n_rows),
-        }
+        d["ed_stark"] = ed_claims_to_dict(p.ed_stark)
     return json.dumps(d, separators=(",", ":")).encode()
 
 
 def skip_proof_from_bytes(b: bytes):
     from blobstreamx_tpu.circuits.skip import SkipPublicOutputs
     from blobstreamx_tpu.prover import pipeline
-    from blobstreamx_tpu.prover.sha_claims import ShaStarkProof
 
     d = json.loads(b)
     assert d.get("schema") == SCHEMA and d.get("kind") == "skip"
@@ -168,25 +255,8 @@ def skip_proof_from_bytes(b: bytes):
         target_root=bytes.fromhex(d["outputs"]["target_root"]),
         data_commitment=bytes.fromhex(d["outputs"]["data_commitment"]),
     )
-    sha = None
-    if "sha_stark" in d:
-        sha = ShaStarkProof(
-            stark=stark_proof_from_dict(d["sha_stark"]["stark"]),
-            aux=[(tuple(w), tuple(o)) for w, o in d["sha_stark"]["aux"]],
-            n_rows=int(d["sha_stark"]["n_rows"]),
-        )
-    ed = None
-    if "ed_stark" in d:
-        from blobstreamx_tpu.prover.ed_claims import EdStarkProof
-
-        ed = EdStarkProof(
-            stark=stark_proof_from_dict(d["ed_stark"]["stark"]),
-            aux=[
-                (int(s), (int(pt[0]), int(pt[1])), tuple(int(v) for v in out))
-                for s, pt, out in d["ed_stark"]["aux"]
-            ],
-            n_rows=int(d["ed_stark"]["n_rows"]),
-        )
+    sha = sha_claims_from_dict(d["sha_stark"]) if "sha_stark" in d else None
+    ed = ed_claims_from_dict(d["ed_stark"]) if "ed_stark" in d else None
     return pipeline.SkipProof(
         outputs=out,
         publics=list(d["publics"]),

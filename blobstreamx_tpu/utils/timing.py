@@ -53,6 +53,10 @@ class TimingTree:
             node.seconds = time.perf_counter() - t0
             self._stack.pop()
 
+    def note(self, text: str) -> None:
+        """Zero-duration annotation node (e.g. 'phase resumed from checkpoint')."""
+        self._stack[-1].children.append(TimingNode(text))
+
     def finish(self) -> "TimingTree":
         self.root.seconds = time.perf_counter() - self._t0
         return self

@@ -74,12 +74,23 @@ class TestFailureDetection:
         with pytest.raises(RuntimeError, match="always"):
             failure.run_with_retry(attempt, attempts=2)
 
-    def test_retry_resumes_from_checkpoint_dir(self, chain, tmp_path):
-        """A failed attempt leaves phase checkpoints behind; the retry with the
-        same dir completes and the phases recorded by attempt 1 are on disk."""
+    def test_retry_resumes_from_checkpoint_dir(self, chain, tmp_path, monkeypatch):
+        """A failed attempt leaves phase checkpoints behind; the retry with
+        the same dir must SKIP completed work (SURVEY.md §5.4) — asserted by
+        counting stark.prove calls: attempt 1 proves, attempt 2 resumes and
+        proves nothing."""
+        from blobstreamx_tpu.prover import stark as stark_mod
+
         w = wit.build_skip_witness(chain, trusted_height=1, target_height=9)
         ckpt = str(tmp_path / "ckpt")
-        state = {"tries": 0}
+        state = {"tries": 0, "proves": 0}
+        orig = stark_mod.prove
+
+        def counting(*a, **k):
+            state["proves"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(stark_mod, "prove", counting)
 
         def attempt():
             state["tries"] += 1
@@ -90,6 +101,9 @@ class TestFailureDetection:
 
         proof = failure.run_with_retry(attempt, attempts=2)
         assert pipeline.verify_skip_proof(proof, CFG)
+        assert state["tries"] == 2
+        assert state["proves"] == 1, "retry re-proved instead of resuming"
+        assert "resumed from checkpoint" in proof.timing
 
 
 class TestPipelinedProving:
