@@ -11,6 +11,14 @@ record schema — not silicon performance.
 
 Usage:
   JAX_PLATFORMS=cpu python benches/scaling.py --devices 8 --out scaling.jsonl
+
+Multi-PROCESS mode (jax.distributed bring-up, SURVEY.md §5.8; same recipe a
+pod slice uses — CPU loopback validates the path without hardware):
+
+  python benches/scaling.py --coordinator 127.0.0.1:9955 --num-processes 2 \
+      --process-id 0 --devices 1 &
+  python benches/scaling.py --coordinator 127.0.0.1:9955 --num-processes 2 \
+      --process-id 1 --devices 1
 """
 
 from __future__ import annotations
@@ -45,6 +53,9 @@ def main() -> None:
     ap.add_argument("--log-n", type=int, default=16, help="NTT size exponent")
     ap.add_argument("--hashes", type=int, default=1 << 12)
     ap.add_argument("--out", default="scaling.jsonl")
+    from blobstreamx_tpu.parallel.distributed import add_distributed_args, maybe_initialize
+
+    add_distributed_args(ap)
     args = ap.parse_args()
 
     import os
@@ -61,6 +72,18 @@ def main() -> None:
             jax.config.update("jax_num_cpu_devices", args.devices)
         except Exception:
             pass  # backend already up (e.g. a real pod slice run)
+
+    # multi-host/process bring-up (must precede first backend use); after
+    # this, jax.devices() spans every process and the shard_map programs
+    # below run as one multi-process SPMD job
+    distributed = maybe_initialize(args)
+    if distributed:
+        import jax as _jax
+
+        print(
+            f"jax.distributed up: process {_jax.process_index()}/"
+            f"{_jax.process_count()}, {len(_jax.devices())} global devices"
+        )
 
     import numpy as np
     from jax.sharding import Mesh

@@ -320,6 +320,16 @@ class Air:
         return []
 
     def cache_key(self):
-        """Key for the compiled-phase cache. Airs whose constraint system
-        depends on instance parameters must include them here."""
+        """Key for instance-VALUE caches (fixed-column tables and their
+        LDEs). Airs whose preprocessed values depend on instance parameters
+        must include them here."""
         return type(self)
+
+    def phase_key(self):
+        """Key for the compiled-PROGRAM cache (prover phase jits). Defaults
+        to cache_key; Airs whose constraint GRAPH is invariant across
+        instances (fixed columns enter the programs as runtime arguments)
+        should override this with the coarser key so e.g. two SHA chains of
+        equal length share one set of compiled programs — XLA compile time
+        dominates small proves."""
+        return self.cache_key()

@@ -64,7 +64,7 @@ def fold_codeword_ext(evals, beta, shift: int):
     return gf64.ext_add(even, gf64.ext_mul(odd, beta))
 
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 
@@ -81,6 +81,62 @@ def _layer_fns(size: int, cap_height: int, shift: int):
     @jax.jit
     def fold(cw, beta):
         return fold_codeword_ext(cw, beta, shift)
+
+    return commit, fold, ch
+
+
+@lru_cache(maxsize=None)
+def _layer_fns_mesh(size: int, cap_height: int, shift: int, mesh):
+    """Sharded (commit+fold) program for one FRI layer (SURVEY.md §5.7: "FRI
+    fold as strided-pair kernel"; the multi-chip design keeps every fold pair
+    CHIP-LOCAL, like the six-step NTT output layout keeps butterflies local).
+
+    Codeword layout on the mesh: shape (2, half) — row 0 = f(x_i) (even
+    half), row 1 = f(-x_i) (odd half) — with the PAIR INDEX axis sharded
+    (P(None, AXIS)). Fold and pair-leaf hashing read only column i of both
+    rows, so they run with zero communication; the single cross-chip move per
+    layer is the re-pairing of the folded output ((half,) -> (2, half/2)),
+    pinned by an explicit sharding constraint (the transpose analog of the
+    six-step NTT's all_to_all)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from blobstreamx_tpu.parallel.mesh import AXIS
+
+    half = size // 2
+    ch = min(cap_height, (half - 1).bit_length())
+    pair_sh = NamedSharding(mesh, PartitionSpec(None, AXIS))
+
+    def _halves(cw2):
+        fe = tuple((c[0][0], c[1][0]) for c in cw2)
+        fo = tuple((c[0][1], c[1][1]) for c in cw2)
+        return fe, fo
+
+    @partial(jax.jit, in_shardings=(pair_sh,))
+    def commit(cw2):
+        # cw2: ext pair of (2, half) Gl arrays in pair layout — leaf
+        # [e.c0, e.c1, o.c0, o.c1] at column i is chip-local by construction
+        fe, fo = _halves(cw2)
+        leaves = (
+            jnp.stack([fe[0][0], fe[1][0], fo[0][0], fo[1][0]], axis=0),
+            jnp.stack([fe[0][1], fe[1][1], fo[0][1], fo[1][1]], axis=0),
+        )
+        return merkle_ops.tree_layers(leaves, ch)
+
+    @partial(jax.jit, in_shardings=(pair_sh, None))
+    def fold(cw2, beta):
+        fe, fo = _halves(cw2)
+        inv2 = gf64.full((half,), INV2)
+        xinv = gf64.from_u64(fri_ops._xinv_table(size.bit_length() - 1, shift))
+        even = tuple(gl_mul(gl_add(e, o), inv2) for e, o in zip(fe, fo))
+        odd = tuple(gl_mul(gl_mul(gl_sub(e, o), inv2), xinv) for e, o in zip(fe, fo))
+        folded = gf64.ext_add(even, gf64.ext_mul(odd, beta))
+        if half >= 4:
+            # re-pair for the next layer: the one collective per fold stage
+            folded = tuple(
+                tuple(c.reshape(2, half // 2) for c in comp) for comp in folded
+            )
+            folded = jax.lax.with_sharding_constraint(folded, pair_sh)
+        return folded
 
     return commit, fold, ch
 
@@ -104,10 +160,36 @@ def _observe_ext(challenger: Challenger, v: tuple[int, int]) -> None:
     challenger.observe(v[1])
 
 
+def _pair_layout(evals, mesh):
+    """Natural (n,) ext codeword -> pair layout (2, n/2), pair axis sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from blobstreamx_tpu.parallel.mesh import AXIS
+
+    half = evals[0][0].shape[0] // 2
+    pair_sh = NamedSharding(mesh, PartitionSpec(None, AXIS))
+    return jax.device_put(
+        tuple(tuple(c.reshape(2, half) for c in comp) for comp in evals), pair_sh
+    )
+
+
+def _natural_layout(cw2):
+    """Pair layout back to natural (n,) (host-side view for query openings)."""
+    return tuple(tuple(np.asarray(c).reshape(-1) for c in comp) for comp in cw2)
+
+
 def fri_prove_ext(
-    evals, config: FriConfig, challenger: Challenger, shift: int = gold.COSET_SHIFT
+    evals,
+    config: FriConfig,
+    challenger: Challenger,
+    shift: int = gold.COSET_SHIFT,
+    mesh=None,
 ):
     """Device ext-FRI prover. evals: ext pair of (n,) Gl arrays on shift*<w>.
+
+    mesh: optional — run each large layer's commit+fold sharded with
+    chip-local fold pairs (see _layer_fns_mesh); bit-exact with the
+    single-device path (identical field ops, layout change only).
 
     Returns (proof, trees, codewords) — trees/codewords kept so the caller
     (the STARK pipeline) can extract layer-0 openings for its own transcript.
@@ -118,11 +200,29 @@ def fri_prove_ext(
     trees: list[merkle_ops.PoseidonTree] = []
     cur_shift = shift % P
     size = n
+    cw2 = None  # pair-layout device codeword when the mesh path is active
     while size > config.final_poly_len:
-        commit_fn, fold_fn, ch = _layer_fns(size, config.cap_height, cur_shift)
-        tree = merkle_ops.PoseidonTree(
-            layers=list(commit_fn(codewords[-1])), cap_height=ch
+        use_mesh = (
+            mesh is not None
+            and (size // 2) % mesh.size == 0
+            and size // 2 >= 2 * mesh.size
         )
+        if use_mesh:
+            commit_fn, fold_fn, ch = _layer_fns_mesh(
+                size, config.cap_height, cur_shift, mesh
+            )
+            if cw2 is None:
+                cw2 = _pair_layout(codewords[-1], mesh)
+            cur = cw2
+        else:
+            commit_fn, fold_fn, ch = _layer_fns(size, config.cap_height, cur_shift)
+            if cw2 is not None:  # mesh path ended (layer too small): fall back
+                codewords[-1] = tuple(
+                    tuple(c.reshape(-1) for c in comp) for comp in cw2
+                )
+                cw2 = None
+            cur = codewords[-1]
+        tree = merkle_ops.PoseidonTree(layers=list(commit_fn(cur)), cap_height=ch)
         trees.append(tree)
         for digest in merkle_ops.cap_to_ints(tree):
             challenger.observe_many(digest)
@@ -131,7 +231,17 @@ def fri_prove_ext(
             gf64.from_u64(np.array([beta[0]], np.uint64)),
             gf64.from_u64(np.array([beta[1]], np.uint64)),
         )
-        codewords.append(fold_fn(codewords[-1], beta_d))
+        folded = fold_fn(cur, beta_d)
+        if use_mesh:
+            cw2 = folded if size // 2 >= 4 else None
+            if cw2 is None:
+                codewords.append(folded)
+            else:
+                codewords.append(
+                    tuple(tuple(c.reshape(-1) for c in comp) for comp in folded)
+                )
+        else:
+            codewords.append(folded)
         cur_shift = (cur_shift * cur_shift) % P
         size //= 2
 

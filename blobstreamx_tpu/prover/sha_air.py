@@ -108,6 +108,13 @@ class Sha256Air(Air):
     def cache_key(self):
         return (type(self), self.chain)
 
+    def phase_key(self):
+        """The constraint graph reads the chain bits only through the fixed
+        columns (runtime arguments to the compiled programs), so every chain
+        of a given length shares one set of compiled phases — proving a
+        different witness shape costs a fixed-table rebuild, not a recompile."""
+        return (type(self), len(self.chain))
+
     # ------------------------------------------------------------------ fixed
     def fixed_columns(self, n: int) -> np.ndarray:
         assert n == ROUNDS * len(self.chain)

@@ -288,25 +288,36 @@ def _as_tree(layers, cap_height: int) -> merkle_ops.PoseidonTree:
 # ----------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=None)
+_FIXED_LDE_CACHE: dict = {}
+
+
 def _fixed_lde_cached(air_key, air: Air, n: int, rate_bits: int, shift: int):
     """Device LDE of the AIR's preprocessed columns (never committed; the
-    verifier evaluates the same known polynomials at zeta on host)."""
+    verifier evaluates the same known polynomials at zeta on host). Memoized
+    by the VALUE key (air.cache_key()) — the air instance itself must not
+    enter the key, or every fresh instance would rebuild (and the phase
+    cache below would recompile; instances hash by identity)."""
+    hit = _FIXED_LDE_CACHE.get((air_key, n, rate_bits, shift))
+    if hit is not None:
+        return hit
     table = air.fixed_columns(n)
     if table is None or table.shape[1] == 0:
         n_ext = n << rate_bits
         import jax.numpy as _jnp
 
         z = _jnp.zeros((n_ext, 0), _jnp.uint32)
-        return (z, z)
-    fixed_gl = gf64.from_u64(np.asarray(table, np.uint64) % P)
+        out = (z, z)
+    else:
+        fixed_gl = gf64.from_u64(np.asarray(table, np.uint64) % P)
 
-    @jax.jit
-    def build(x):
-        coeffs = ntt_ops.ntt_cols(x, inverse=True)
-        return ntt_ops.lde_cols(coeffs, rate_bits, shift)
+        @jax.jit
+        def build(x):
+            coeffs = ntt_ops.ntt_cols(x, inverse=True)
+            return ntt_ops.lde_cols(coeffs, rate_bits, shift)
 
-    return build(fixed_gl)
+        out = build(fixed_gl)
+    _FIXED_LDE_CACHE[(air_key, n, rate_bits, shift)] = out
+    return out
 
 
 def _combine_alpha_device(
@@ -361,8 +372,41 @@ def _quotient_commit_fn(n: int, config: StarkConfig, shift: int, ch: int):
     return commit
 
 
-@lru_cache(maxsize=None)
-def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig, shift: int):
+def _row_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from blobstreamx_tpu.parallel.mesh import AXIS
+
+    return NamedSharding(mesh, PartitionSpec(AXIS, None))
+
+
+def _col_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from blobstreamx_tpu.parallel.mesh import AXIS
+
+    return NamedSharding(mesh, PartitionSpec(None, AXIS))
+
+
+_PHASE_CACHE: dict = {}
+
+
+def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig, shift: int, mesh=None):
+    """Compiled phase programs, memoized by (air.phase_key(), shapes,
+    config, mesh) — NOT by the air instance (identity hash would force a
+    retrace + recompile for every fresh Air(), and compile time dominates
+    small proves). Two instances sharing a phase_key must define identical
+    constraint graphs (Air.phase_key contract)."""
+    memo_key = (air_key, n, n_pub, n_chal, config, shift, mesh)
+    hit = _PHASE_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
+    hit = _build_phases(air, n, n_pub, n_chal, config, shift, mesh)
+    _PHASE_CACHE[memo_key] = hit
+    return hit
+
+
+def _build_phases(air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig, shift: int, mesh=None):
     n_cols = air.n_cols
     blowup = config.blowup()
     n_ext = n * blowup
@@ -372,12 +416,34 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
     g_last = pow(g, n - 1, P)
     ch = min(config.cap_height, (n_ext - 1).bit_length())
 
-    @jax.jit
-    def trace_commit(trace_gl):
-        coeffs = ntt_ops.ntt_cols(trace_gl, inverse=True)
-        lde = ntt_ops.lde_cols(coeffs, config.rate_bits, shift)
-        layers = _tree_layers((lde[0].T, lde[1].T), ch)
-        return coeffs, lde, layers
+    def _make_commit(k_cols: int):
+        def body(trace_gl):
+            coeffs = ntt_ops.ntt_cols(trace_gl, inverse=True)
+            lde = ntt_ops.lde_cols(coeffs, config.rate_bits, shift)
+            if mesh is not None:
+                # Explicit mesh schedule (SURVEY.md §2.3 DP + Ulysses): the
+                # NTT / LDE above ran with COLUMNS sharded — per-column
+                # transforms are chip-local, zero communication (strictly
+                # better than any factorized exchange for column-batched
+                # matrices; the six-step all_to_all NTT is for the single-
+                # polynomial axis — the FRI codeword path). Hashing wants
+                # LEAVES (rows of the extended matrix) local, so the phase
+                # boundary is exactly ONE all-to-all re-shard, pinned here
+                # instead of left to GSPMD's guesses.
+                lde = jax.lax.with_sharding_constraint(lde, _row_sharding(mesh))
+            layers = _tree_layers((lde[0].T, lde[1].T), ch)
+            return coeffs, lde, layers
+
+        if mesh is None:
+            return jax.jit(body)
+        cols_local = k_cols > 0 and k_cols % mesh.size == 0
+        return jax.jit(
+            body,
+            in_shardings=(_col_sharding(mesh) if cols_local else _row_sharding(mesh),),
+        )
+
+    trace_commit = _make_commit(n_cols)
+    s2_commit = _make_commit(air.n_stage2) if air.n_stage2 else trace_commit
 
     n_fixed = air.n_fixed
     n_s2 = air.n_stage2
@@ -587,7 +653,7 @@ def _phases(air_key, air: Air, n: int, n_pub: int, n_chal: int, config: StarkCon
         num_b = gf64.ext_sub((b0, b1), _bcast2(cb))
         return gf64.ext_add(gf64.ext_mul(num_a, inv_xz), gf64.ext_mul(num_b, inv_xgz))
 
-    return trace_commit, quotient, openings, deep
+    return trace_commit, s2_commit, quotient, openings, deep
 
 
 def _bcast(z):
@@ -644,11 +710,14 @@ def prove(
 
     mesh: optional jax.sharding.Mesh — the multi-chip path (SURVEY.md §2.2
     C11's TPU equivalent: data-parallel sharding within one pjit program, no
-    proof recursion). The evaluation domain (row) axis is sharded across the
-    mesh; GSPMD partitions every phase — constraint evaluation, Merkle leaf
-    hashing and DEEP composition are perfectly row-parallel, NTT stages wider
-    than a shard become collective permutes over ICI. Bit-exact with the
-    single-chip path (integer ops; reduction trees are data-independent)."""
+    proof recursion). Explicit per-phase schedule (not GSPMD guesswork):
+    trace/stage2 commit runs with COLUMNS sharded (per-column NTT/LDE is
+    chip-local, zero comm) and re-shards ONCE to rows for Merkle leaf
+    hashing; constraint evaluation, quotient and DEEP composition are
+    row-parallel (the next-row frame's roll becomes a boundary ppermute);
+    the FRI fold runs in a pair-local layout (fri_ext._layer_fns_mesh) with
+    one re-pairing collective per layer. Bit-exact with the single-chip path
+    (integer ops; reduction trees are data-independent)."""
     n, n_cols = trace.shape
     assert n & (n - 1) == 0
     assert n_cols == air.n_cols
@@ -665,15 +734,9 @@ def prove(
     trace_gl = gf64.from_u64(trace)
     fixed_lde = _fixed_lde_cached(air.cache_key(), air, n, config.rate_bits, shift)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        from blobstreamx_tpu.parallel.mesh import AXIS
-
-        rows = NamedSharding(mesh, PartitionSpec(AXIS, None))
-        trace_gl = jax.device_put(trace_gl, rows)
-        fixed_lde = jax.device_put(fixed_lde, rows)
-    f_commit, f_quotient, f_openings, f_deep = _phases(
-        air.cache_key(), air, n, len(publics), air.n_challenges, config, shift
+        fixed_lde = jax.device_put(fixed_lde, _row_sharding(mesh))
+    f_commit, f_s2_commit, f_quotient, f_openings, f_deep = _phases(
+        air.phase_key(), air, n, len(publics), air.n_challenges, config, shift, mesh
     )
     trace_coeffs, trace_lde, t_layers = f_commit(trace_gl)
     trace_tree = _as_tree(t_layers, ch)
@@ -691,9 +754,7 @@ def prove(
         s2 = air.build_stage2(trace, chals, aux)
         assert s2.shape == (n, n_s2)
         s2_gl = gf64.from_u64(np.asarray(s2, np.uint64) % P)
-        if mesh is not None:
-            s2_gl = jax.device_put(s2_gl, rows)
-        s2_coeffs, s2_lde, s2_layers = f_commit(s2_gl)
+        s2_coeffs, s2_lde, s2_layers = f_s2_commit(s2_gl)
         s2_tree = _as_tree(s2_layers, ch)
         s2_cap = merkle_ops.cap_to_ints(s2_tree)
         _observe_cap(challenger, s2_cap)
@@ -739,7 +800,7 @@ def prove(
         qz_d,
     )
 
-    fri_proof, indices = fri_prove_ext(deep_cw, config.fri(), challenger, shift)
+    fri_proof, indices = fri_prove_ext(deep_cw, config.fri(), challenger, shift, mesh=mesh)
 
     t_host = gf64.to_u64(trace_lde)
     q_host = gf64.to_u64(q_lde)
@@ -783,15 +844,26 @@ def prove(
 # ----------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=None)
+_FIXED_COEFFS_CACHE: dict = {}
+
+
 def _fixed_coeffs_host(air_key, air: Air, n: int):
     """Host (python-int) coefficient vectors of the AIR's preprocessed
     columns — the verifier evaluates these known polynomials at zeta itself,
-    independently of the device."""
+    independently of the device. Memoized by value key, not instance."""
+    hit = _FIXED_COEFFS_CACHE.get((air_key, n))
+    if hit is not None:
+        return hit
     table = air.fixed_columns(n)
     if table is None or table.shape[1] == 0:
-        return []
-    return [golden_ntt.intt([int(v) % P for v in table[:, j]]) for j in range(table.shape[1])]
+        out = []
+    else:
+        out = [
+            golden_ntt.intt([int(v) % P for v in table[:, j]])
+            for j in range(table.shape[1])
+        ]
+    _FIXED_COEFFS_CACHE[(air_key, n)] = out
+    return out
 
 
 def _eval_fixed_host(coeff_cols, z: tuple[int, int]) -> list[tuple[int, int]]:

@@ -3,6 +3,7 @@ golden RFC 8032 ladder, constraint-vanishing harness on the plain domain, and
 a full prove/verify roundtrip with claim-tamper probes (the roundtrip runs in
 a 1-device subprocess, like the SHA-256 STARK's)."""
 
+import pytest
 import random
 
 import numpy as np
@@ -86,6 +87,7 @@ class TestTraceBuilder:
         assert int(vals.max()) < (1 << 16)
 
 
+@pytest.mark.slow
 class TestConstraintsVanish:
     def test_vanishing(self):
         s = (0xDEADBEEF << 200 | 0x12345) % (1 << ed_air.BITS)
@@ -143,6 +145,7 @@ class TestConstraintsVanish:
             assert bad.size == 0, f"constraint {idx} ({kind}) nonzero at {bad[:5]}"
 
 
+@pytest.mark.slow
 class TestEdStark:
     def test_roundtrip_and_tampers(self):
         from subproc import run_py

@@ -2,6 +2,7 @@
 vs the golden batch equation, and a full prove/verify roundtrip with tamper
 probes (subprocess; one signature -> 4 STARK segments of 512 rows)."""
 
+import pytest
 from blobstreamx_tpu.golden import ed25519 as ged
 from blobstreamx_tpu.prover import ed_claims
 
@@ -43,6 +44,7 @@ class TestPairs:
         assert ed_claims.batch_msm_pairs([(pk, msg, too_big)]) is None
 
 
+@pytest.mark.slow
 class TestEdClaimsStark:
     def test_roundtrip_and_tampers(self):
         from subproc import run_py

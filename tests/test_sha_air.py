@@ -2,6 +2,7 @@
 constraint-vanishing harness on the plain domain, and a full prove/verify
 roundtrip with tamper probes (the roundtrip runs in a 1-device subprocess)."""
 
+import pytest
 import hashlib
 
 import numpy as np
@@ -103,6 +104,7 @@ class TestConstraintsVanish:
             assert bad.size == 0, f"constraint {idx} ({kind}) nonzero at {bad[:5]}"
 
 
+@pytest.mark.slow
 class TestShaStark:
     def test_roundtrip_and_tampers(self):
         """Full prove/verify + tamper probes, in a 1-device subprocess (the

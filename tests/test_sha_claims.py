@@ -2,7 +2,10 @@
 (prover.sha_claims): roundtrip against the golden tree root plus claim
 tamper probes. Runs in a 1-device subprocess (see tests/subproc.py)."""
 
+import pytest
 
+
+@pytest.mark.slow
 class TestDataCommitmentStark:
     def test_roundtrip_and_tampers(self):
         from subproc import run_py
