@@ -186,7 +186,11 @@ def main() -> None:
     args = ap.parse_args()
     configs = args.configs or [1, 2, 3, 4]
 
+    import sys
+
     import jax
+
+    from blobstreamx_tpu.utils.perf_history import record as record_history
 
     backend = jax.default_backend()
     for c in configs:
@@ -196,6 +200,14 @@ def main() -> None:
             rec = {1: config1, 2: config2, 3: config3, 4: config4}[c]()
         rec["backend"] = backend
         print(json.dumps(rec), flush=True)
+        hist = {
+            f"config{c}_{k}": v
+            for k, v in rec.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
+        hist["backend"] = backend
+        for w in record_history(hist, source=f"benches/configs.py:{c}"):
+            print(w, file=sys.stderr)
 
 
 if __name__ == "__main__":

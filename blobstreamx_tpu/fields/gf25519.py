@@ -74,11 +74,29 @@ def full(n: int, value: int) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 
 
-def _propagate_scan(cols):
-    """cols: (K, N) u32 columns (< 2^32) -> (words (K, N) < 2^16, carry (N,)).
+# Carry-chain lowering: UNROLLED by default. The lax.scan form keeps traces
+# tiny but lowers to a While loop; a field mul needs 4 carry chains, and the
+# hot consumers nest them inside OUTER scans (pow_static's 255-step square-
+# and-multiply, the MSM's bucket scans) — nested While loops cost ~10-100x
+# their body on TPU (profiled: the single-lane window combine ran ~290 point
+# ops in 342 ms). Unrolling the static 16-33 steps roughly doubles the mul
+# trace (~350 HLO) and removes every inner While. Set BSX_GF25519_SCAN=1 to
+# restore the scan form (compile-time escape hatch for huge traces).
+import os as _os
 
-    Sequential carry chain as lax.scan over the limb axis (runtime K steps,
-    trace O(1))."""
+_UNROLL = _os.environ.get("BSX_GF25519_SCAN", "") != "1"
+
+
+def _propagate_scan(cols):
+    """cols: (K, N) u32 columns (< 2^32) -> (words (K, N) < 2^16, carry (N,))."""
+    if _UNROLL:
+        carry = jnp.zeros_like(cols[0])
+        outs = []
+        for i in range(cols.shape[0]):
+            tot = cols[i] + carry
+            outs.append(tot & MASK16)
+            carry = tot >> 16
+        return jnp.stack(outs), carry
 
     def step(carry, col):
         tot = col + carry
@@ -163,12 +181,24 @@ def canonicalize(x):
     q = jnp.asarray(_Q_LIMBS)[:, None]
     out = x
     for _ in range(2):
-        def step(borrow, cols):
-            xi, qi = cols
-            d = xi - qi - borrow
-            return (d >> 31) & 1, d & MASK16
+        if _UNROLL:
+            borrow = jnp.zeros_like(out[0])
+            diffs = []
+            for i in range(NLIMB):
+                d = out[i] - q[i] - borrow
+                diffs.append(d & MASK16)
+                borrow = (d >> 31) & 1
+            diff = jnp.stack(diffs)
+        else:
 
-        borrow, diff = jax.lax.scan(step, jnp.zeros_like(out[0]), (out, jnp.broadcast_to(q, out.shape)))
+            def step(borrow, cols):
+                xi, qi = cols
+                d = xi - qi - borrow
+                return (d >> 31) & 1, d & MASK16
+
+            borrow, diff = jax.lax.scan(
+                step, jnp.zeros_like(out[0]), (out, jnp.broadcast_to(q, out.shape))
+            )
         ge = borrow == 0
         out = jnp.where(ge[None, :], diff, out)
     return out

@@ -47,12 +47,16 @@ def derive_z(items: list[tuple[bytes, bytes, bytes]], bits: int = 128) -> list[i
     return zs
 
 
-def prepare_batch(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
+def prepare_batch(
+    items: list[tuple[bytes, bytes, bytes]],
+    zs: list[int] | None = None,
+    c: int = msm_ops.WINDOW_BITS,
+):
     """Host scalar math + device decompression for the batch equation.
 
     Returns (points, digits, n_invalid) — the (2n+1)-point MSM inputs — or
     None if any input is malformed or any s >= L. n_invalid counts lanes
-    whose point encoding failed to decompress.
+    whose point encoding failed to decompress. c: digit window bits.
     """
     assert len(items) > 0
     if zs is None:
@@ -86,9 +90,9 @@ def prepare_batch(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None 
     import jax.numpy as jnp
 
     b = curve.base_point(1)
-    points = tuple(jnp.concatenate([c, cb], axis=1) for c, cb in zip(pts, b))
+    points = tuple(jnp.concatenate([co, cb], axis=1) for co, cb in zip(pts, b))
     scalars = z_r + z_a + [(L - s_sum) % L]
-    digits = msm_ops.scalars_to_digits(scalars)
+    digits = msm_ops.scalars_to_digits(scalars, c)
     return points, digits, n_invalid
 
 
@@ -97,13 +101,19 @@ def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None =
 
     ok is False if any encoding is invalid, any s >= L, or the batch equation
     fails. (A False batch can then be bisected with golden.ed25519.verify.)
+
+    Fast path (profiled, benches/ed_profile.py): the device runs Pippenger
+    up to the per-window results with narrow windows and many streams
+    (latency-, not throughput-bound on the VPU); the final weighted combine
+    and the identity test are O(W) host bigint ops (~1 ms) instead of ~290
+    sequential single-lane device point ops (~375 ms).
     """
-    prep = prepare_batch(items, zs)
+    prep = prepare_batch(items, zs, c=msm_ops.FAST_WINDOW_BITS)
     if prep is None:
         return False, {"reason": "malformed input or s >= L"}
     points, digits, n_invalid = prep
     if n_invalid:
         return False, {"reason": "invalid point encoding"}
-    result = msm_ops.msm_jit(points, digits)
-    ok = bool(np.asarray(_is_identity_jit(result))[0])
+    result = msm_ops.msm_host_combined(points, digits)
+    ok = gold.point_equal(result, gold.IDENTITY)
     return ok, {"n": len(items), "msm_points": digits.shape[1]}

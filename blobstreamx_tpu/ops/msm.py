@@ -40,6 +40,15 @@ WINDOW_BITS = 8
 NUM_WINDOWS = 32  # ceil(256 / 8)
 NUM_BUCKETS = 1 << WINDOW_BITS
 
+# Batch-verify path defaults (profiled on TPU v5e, benches/ed_profile.py):
+# narrow windows + many streams minimize SEQUENTIAL point ops — the scan
+# steps are latency-bound (each complete add inlines ~9 field muls whose
+# carry chains serialize), so step count beats per-step lane width. c=4
+# gives 16 buckets (4-step suffix scan vs 8) and lets 128 streams fit in
+# a 64*16*128 = 131k-lane bucket array (~34 MB/coord).
+FAST_WINDOW_BITS = 4
+FAST_STREAMS = 128
+
 
 def scalars_to_digits(scalars: list[int], c: int = WINDOW_BITS) -> np.ndarray:
     """(W, N) uint32 digit matrix, digit[w, i] = (s_i >> (c*w)) & (2^c - 1)."""
@@ -95,21 +104,24 @@ def _fold_groups(p: curve.Point, group: int) -> curve.Point:
     return out
 
 
-def accumulate_buckets(points: curve.Point, digits, streams: int = 16) -> curve.Point:
+def accumulate_buckets(
+    points: curve.Point, digits, streams: int = 16, c: int = WINDOW_BITS
+) -> curve.Point:
     """Bucket accumulation. points: (16, N) coords; digits: (W, N) uint32,
     N a multiple of `streams` (see pad_to_streams).
 
     Returns the merged bucket points as a (16, W*2^c)-lane Point:
     lane w*2^c + b  =  sum of points whose window-w digit is b.
     """
+    n_buckets = 1 << c
     w, n = digits.shape
     k = streams  # power of two required by the pairwise merge
     assert k & (k - 1) == 0 and n % k == 0, (n, k)
     digits = jnp.asarray(digits)
     steps = n // k
 
-    # per-stream bucket copies: lane layout (w * NUM_BUCKETS + b) * k + stream
-    buckets = curve.identity(w * NUM_BUCKETS * k)
+    # per-stream bucket copies: lane layout (w * n_buckets + b) * k + stream
+    buckets = curve.identity(w * n_buckets * k)
 
     # reorder so step i handles points [i, i+steps, i+2*steps, ...] per stream
     order = jnp.arange(n).reshape(k, steps).T.reshape(-1)  # step-major
@@ -124,7 +136,7 @@ def accumulate_buckets(points: curve.Point, digits, streams: int = 16) -> curve.
         dig_k = xs[1]  # (W, k)
         # lanes: for each (window, stream): target bucket index
         lane = (
-            (jnp.arange(w, dtype=jnp.uint32)[:, None] * NUM_BUCKETS + dig_k) * k
+            (jnp.arange(w, dtype=jnp.uint32)[:, None] * n_buckets + dig_k) * k
             + jnp.arange(k, dtype=jnp.uint32)[None, :]
         ).reshape(-1)  # (W*K,)
         cur = _gather_point(bkts, lane)
@@ -141,13 +153,15 @@ def accumulate_buckets(points: curve.Point, digits, streams: int = 16) -> curve.
     return tuple(c.reshape(16, -1, k)[:, :, 0] for c in folded)  # (16, W*B)
 
 
-def reduce_buckets(buckets: curve.Point, w: int = NUM_WINDOWS) -> curve.Point:
+def reduce_buckets(
+    buckets: curve.Point, w: int = NUM_WINDOWS, c: int = WINDOW_BITS
+) -> curve.Point:
     """Per-window weighted sum sum_b b * S_b -> (16, W) window results.
 
     Suffix sums U_j = sum_{b>=j} S_b via reversed Hillis-Steele (c scan steps
     with masked dynamic-shift gathers), then sum_{j>=1} U_j via _fold_groups.
     """
-    b = NUM_BUCKETS
+    b = 1 << c
     m = w * b
     lane = jnp.arange(m)
     lane_b = lane % b
@@ -195,3 +209,64 @@ def msm_jit(points: curve.Point, digits) -> curve.Point:
 @jax.jit
 def _msm_jitted(points, digits):
     return msm(points, digits)
+
+
+# ---------------------------------------------------------------------------
+# fast batch-verify path: device windows + HOST window combine
+# ---------------------------------------------------------------------------
+#
+# The device Horner combine runs ~2^c doublings + W adds on a SINGLE lane —
+# pure sequential latency (~340 ms of the 470 ms MSM at c=8 on v5e, measured
+# by benches/ed_profile.py: every field mul's carry chain serializes). The
+# window results are only W points, so the weighted combine is O(1) host
+# bigint work (~1 ms): ship the windows back and finish with the golden
+# group law. Bit-exactness is untouched — same group, same values.
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("c", "streams"))
+def _msm_windows_jitted(points, digits, c: int, streams: int):
+    w = digits.shape[0]
+    buckets = accumulate_buckets(points, digits, streams=streams, c=c)
+    return reduce_buckets(buckets, w, c=c)
+
+
+def msm_windows(
+    points: curve.Point,
+    digits,
+    c: int = FAST_WINDOW_BITS,
+    streams: int = FAST_STREAMS,
+) -> curve.Point:
+    """Device Pippenger up to the per-window results: (16, W) points."""
+    points, digits = pad_to_streams(points, digits, streams=streams)
+    return _msm_windows_jitted(points, digits, c, streams)
+
+
+def combine_windows_host(windows: curve.Point, c: int):
+    """Host Horner over the (16, W) window points: returns the extended-
+    coordinate result as python ints (x, y, z, t)."""
+    from blobstreamx_tpu.fields import gf25519 as f
+    from blobstreamx_tpu.golden import ed25519 as gold
+
+    coords = [f.to_int(np.asarray(comp)) for comp in windows]  # 4 x [W ints]
+    w = len(coords[0])
+    acc = gold.IDENTITY
+    for j in reversed(range(w)):  # acc = 2^c * acc + W_j, top window first
+        if j != w - 1:
+            for _ in range(c):
+                acc = gold.point_add(acc, acc)
+        acc = gold.point_add(acc, tuple(coords[i][j] % gold.Q for i in range(4)))
+    return acc
+
+
+def msm_host_combined(
+    points: curve.Point,
+    digits,
+    c: int = FAST_WINDOW_BITS,
+    streams: int = FAST_STREAMS,
+):
+    """Fast full MSM: device buckets/windows, host combine. Returns host
+    extended coordinates (x, y, z, t) as python ints."""
+    return combine_windows_host(msm_windows(points, digits, c, streams), c)

@@ -42,7 +42,8 @@ def prove_pipelined(
     """
     assert prefetch >= 1
     it = iter(witness_builders)
-    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="witness") as pool:
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="witness")
+    try:
         pending = []
         try:
             for _ in range(prefetch):
@@ -59,3 +60,7 @@ def prove_pipelined(
                 except StopIteration:
                     exhausted = True
             yield prove_fn(witness, **prove_kwargs)
+    finally:
+        # early generator close must not block on an in-flight witness build
+        # (shutdown(wait=True) would); cancel what never started and detach
+        pool.shutdown(wait=False, cancel_futures=True)
