@@ -108,6 +108,24 @@ def main() -> None:
     rec["identity_check_s"] = time.perf_counter() - t0
     rec["ok"] = ident
 
+    # --- fast path variants: device windows + host combine ------------------
+    for c, streams in ((4, 64), (4, 128), (4, 256), (2, 256), (8, 64)):
+        digs = msm_ops.scalars_to_digits(scalars, c)
+        try:
+            pp, dd = msm_ops.pad_to_streams(points, digs, streams=streams)
+            _sync(msm_ops._msm_windows_jitted(pp, dd, c, streams))  # warm
+            t0 = time.perf_counter()
+            wins = msm_ops._msm_windows_jitted(pp, dd, c, streams)
+            _sync(wins)
+            dt_dev = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = msm_ops.combine_windows_host(wins, c)
+            dt_host = time.perf_counter() - t0
+            rec[f"fast_c{c}_k{streams}_windows_s"] = dt_dev
+            rec[f"fast_c{c}_k{streams}_hostcombine_s"] = dt_host
+        except Exception as e:
+            rec[f"fast_c{c}_k{streams}_error"] = str(e)[:80]
+
     # --- end-to-end warm ----------------------------------------------------
     t0 = time.perf_counter()
     ok, _ = ed_ops.batch_verify(items)

@@ -106,6 +106,12 @@ def _propagate_scan(cols):
     return words, carry
 
 
+def _add_at0(cols, v):
+    """cols with v added into row 0 — expressed as concat, not .at[].add
+    (scatter-add has no Pallas TPU lowering; these run inside kernels)."""
+    return jnp.concatenate([cols[0:1] + v[None], cols[1:]], axis=0)
+
+
 def _fold_overflow(words, over):
     """(words (16,N) < 2^16) + over*2^256 mod p, semi-reduced < 2^256.
 
@@ -114,10 +120,13 @@ def _fold_overflow(words, over):
     the value is < 2^256 + 38, and when that carries again the残 value is
     < 38, so the final add cannot carry — all limbs end strictly < 2^16."""
     add = over * jnp.uint32(38)
-    cols = words.at[0].add(add & MASK16).at[1].add(add >> 16)
+    cols = jnp.concatenate(
+        [words[0:1] + (add & MASK16)[None], words[1:2] + (add >> 16)[None], words[2:]],
+        axis=0,
+    )
     words2, c1 = _propagate_scan(cols)
-    words3, c2 = _propagate_scan(words2.at[0].add(c1 * jnp.uint32(38)))
-    return words3.at[0].add(c2 * jnp.uint32(38))
+    words3, c2 = _propagate_scan(_add_at0(words2, c1 * jnp.uint32(38)))
+    return _add_at0(words3, c2 * jnp.uint32(38))
 
 
 # ----------------------------------------------------------------------------
@@ -139,7 +148,7 @@ _FOURP_LO = np.array(
 def sub(a, b):
     """a - b via a + (4p - 2^256) + (2^256 - b), all columns nonnegative."""
     cols = a + jnp.asarray(_FOURP_LO)[:, None] + (MASK16 - b)
-    cols = cols.at[0].add(1)
+    cols = _add_at0(cols, jnp.ones_like(cols[0]))
     words, over = _propagate_scan(cols)
     return _fold_overflow(words, over)
 
@@ -154,18 +163,20 @@ def mul(a, b):
     plo = p & MASK16
     phi = p >> 16
     n = a.shape[1]
+    # anti-diagonal accumulation via zero-padded adds (not .at[slice].add —
+    # scatter-add has no Pallas TPU lowering and pads fuse identically)
     cols = jnp.zeros((2 * NLIMB + 1, n), jnp.uint32)
     for i in range(NLIMB):
-        cols = cols.at[i : i + NLIMB].add(plo[i])
-        cols = cols.at[i + 1 : i + 1 + NLIMB].add(phi[i])
+        cols = cols + jnp.pad(plo[i], ((i, NLIMB + 1 - i), (0, 0)))
+        cols = cols + jnp.pad(phi[i], ((i + 1, NLIMB - i), (0, 0)))
     words, _carry = _propagate_scan(cols)  # carry provably 0 (< 2^512)
     # fold hi (words[16..32]) * 38 into lo; words[32] == 0 but kept for shape
     hi = words[NLIMB : 2 * NLIMB]
     ph = hi * jnp.uint32(38)
     cols2 = words[:NLIMB]
     cols2 = cols2 + (ph & MASK16)
-    cols2 = cols2.at[1:].add((ph >> 16)[:-1])
-    over_hi = (ph[-1] >> 16)  # weight 2^256
+    cols2 = cols2 + jnp.pad((ph >> 16)[0 : NLIMB - 1], ((1, 0), (0, 0)))
+    over_hi = ph[NLIMB - 1] >> 16  # weight 2^256
     words2, carry = _propagate_scan(cols2)
     return _fold_overflow(words2, carry + over_hi)
 
@@ -229,5 +240,108 @@ def pow_static(a, e: int):
     return result
 
 
+def _sqn_kernel(k: int):
+    def kernel(in_ref, out_ref):
+        out_ref[:] = jax.lax.fori_loop(0, k, lambda _, x: mul(x, x), in_ref[:])
+
+    return kernel
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _sqn_call(n: int, k: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((NLIMB, n), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _sqn_kernel(k),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMB, n), jnp.uint32),
+    )
+
+
+def sqn(a, k: int):
+    """a^(2^k): k squarings in ONE kernel. On TPU with a tileable lane count
+    the whole run executes as a single Pallas program (every intermediate in
+    VMEM — the ~250-squaring decompress chains were HBM/launch bound through
+    XLA); otherwise a fori_loop with the same 1-mul body."""
+    n = a.shape[1]
+    if jax.default_backend() == "tpu" and n % 128 == 0 and n <= 4096 and k > 1:
+        return _sqn_call(n, k)(a)
+    return jax.lax.fori_loop(0, k, lambda _, x: mul(x, x), a)
+
+
+def _chain_250(z):
+    """z^(2^250 - 1) by the classic curve25519 addition chain, plus the
+    intermediates (z9, z11, z_50 = z^(2^50-1)) later steps reuse."""
+    z2 = mul(z, z)
+    z9 = mul(sqn(z2, 2), z)  # z^9
+    z11 = mul(z9, z2)  # z^11
+    z_5 = mul(mul(z11, z11), z9)  # z^(2^5 - 1)
+    z_10 = mul(sqn(z_5, 5), z_5)  # z^(2^10 - 1)
+    z_20 = mul(sqn(z_10, 10), z_10)
+    z_40 = mul(sqn(z_20, 20), z_20)
+    z_50 = mul(sqn(z_40, 10), z_10)
+    z_100 = mul(sqn(z_50, 50), z_50)
+    z_200 = mul(sqn(z_100, 100), z_100)
+    z_250 = mul(sqn(z_200, 50), z_50)
+    return z_250, z9, z11, z_50
+
+
+def _pow22523_kernel(z_ref, out_ref):
+    # the whole ~254-mul chain as ONE program: every intermediate in VMEM,
+    # one launch (the sqn-per-segment version paid ~12 kernel launches of
+    # tunnel/dispatch latency per decompress). fori_loop bodies trace once,
+    # so the kernel stays ~15k ops.
+    z = z_ref[:]
+
+    def S(x, k):
+        return jax.lax.fori_loop(0, k, lambda _, v: mul(v, v), x)
+
+    z2 = mul(z, z)
+    z9 = mul(S(z2, 2), z)
+    z11 = mul(z9, z2)
+    z_5 = mul(mul(z11, z11), z9)
+    z_10 = mul(S(z_5, 5), z_5)
+    z_20 = mul(S(z_10, 10), z_10)
+    z_40 = mul(S(z_20, 20), z_20)
+    z_50 = mul(S(z_40, 10), z_10)
+    z_100 = mul(S(z_50, 50), z_50)
+    z_200 = mul(S(z_100, 100), z_100)
+    z_250 = mul(S(z_200, 50), z_50)
+    out_ref[:] = mul(S(z_250, 2), z)
+
+
+@_lru_cache(maxsize=None)
+def _pow22523_call(n: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((NLIMB, n), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pow22523_kernel,
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMB, n), jnp.uint32),
+    )
+
+
+def pow22523(z):
+    """z^(2^252 - 3) = z^((q-5)/8) — the square-root chain (~254 muls,
+    half of pow_static's ~505 for the same exponent); one fused kernel on
+    TPU for tileable lane counts."""
+    n = z.shape[1]
+    if jax.default_backend() == "tpu" and n % 128 == 0 and n <= 4096:
+        return _pow22523_call(n)(z)
+    z_250, _z9, _z11, _z50 = _chain_250(z)
+    return mul(sqn(z_250, 2), z)
+
+
 def inv(a):
-    return pow_static(a, Q - 2)
+    """a^(q-2) = a^(2^255 - 21) by the addition chain (~254 muls)."""
+    z_250, _z9, z11, _z50 = _chain_250(a)
+    return mul(sqn(z_250, 5), z11)

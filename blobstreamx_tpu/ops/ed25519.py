@@ -96,24 +96,82 @@ def prepare_batch(
     return points, digits, n_invalid
 
 
+from functools import partial as _partial
+
+import jax.numpy as jnp
+
+
+@_partial(jax.jit, static_argnames=("c", "streams"))
+def _batch_device(y_limbs, signs, digits, c: int, streams: int):
+    """The whole device side of batch verification as ONE program: point
+    decompression of the 2n R/A encodings, append the base point, identity-
+    pad to the stream multiple, Pippenger bucket accumulation and window
+    reduction. One upload + one dispatch + one fetch — on a tunneled
+    backend each extra host<->device round trip costs ~10-20 ms, which had
+    come to dominate the optimized pipeline (benches/ed_profile.py)."""
+    from blobstreamx_tpu.ops import curve25519 as curve
+
+    pts, valid = curve._decompress_core(y_limbs, signs)
+    b = curve.base_point(1)
+    points = tuple(jnp.concatenate([co, cb], axis=1) for co, cb in zip(pts, b))
+    n_pts = points[0].shape[1]
+    pad = (-n_pts) % streams
+    if pad:
+        idn = curve.identity(pad)
+        points = tuple(jnp.concatenate([co, ci], axis=1) for co, ci in zip(points, idn))
+    w = digits.shape[0]
+    buckets = msm_ops.accumulate_buckets(points, digits, streams=streams, c=c)
+    wins = msm_ops.reduce_buckets(buckets, w, c=c)
+    return jnp.stack(wins, axis=0), jnp.all(valid)
+
+
 def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
     """items: [(pubkey32, message, signature64)]. Returns (ok, diagnostics).
 
     ok is False if any encoding is invalid, any s >= L, or the batch equation
     fails. (A False batch can then be bisected with golden.ed25519.verify.)
 
-    Fast path (profiled, benches/ed_profile.py): the device runs Pippenger
-    up to the per-window results with narrow windows and many streams
-    (latency-, not throughput-bound on the VPU); the final weighted combine
-    and the identity test are O(W) host bigint ops (~1 ms) instead of ~290
-    sequential single-lane device point ops (~375 ms).
+    Fast path (profiled, benches/ed_profile.py): host scalar math, then ONE
+    device program (decompression + bucketized Pippenger to the per-window
+    results, narrow windows + Pallas-fused complete adds), then the O(W)
+    weighted combine and identity test on host bigints — the device work is
+    latency-bound, so round trips and sequential point ops are what count.
     """
-    prep = prepare_batch(items, zs, c=msm_ops.FAST_WINDOW_BITS)
-    if prep is None:
-        return False, {"reason": "malformed input or s >= L"}
-    points, digits, n_invalid = prep
-    if n_invalid:
+    c, streams = msm_ops.FAST_WINDOW_BITS, msm_ops.FAST_STREAMS
+    assert len(items) > 0
+    if zs is None:
+        zs = derive_z(items)
+    z_r, z_a = [], []
+    s_sum = 0
+    enc_r, enc_a = [], []
+    for (pk, msg, sig), z in zip(items, zs):
+        if len(sig) != 64 or len(pk) != 32:
+            return False, {"reason": "malformed input or s >= L"}
+        s = int.from_bytes(sig[32:], "little")
+        if s >= L:
+            return False, {"reason": "malformed input or s >= L"}
+        h = int.from_bytes(hashlib.sha512(sig[:32] + pk + msg).digest(), "little") % L
+        z_r.append(z % L)
+        z_a.append(z * h % L)
+        s_sum = (s_sum + z * s) % L
+        enc_r.append(sig[:32])
+        enc_a.append(pk)
+
+    from blobstreamx_tpu.ops import curve25519 as curve
+
+    y_limbs, signs = curve.unpack_y_limbs_host(
+        curve.encode_points_host(enc_r + enc_a)
+    )
+    scalars = z_r + z_a + [(L - s_sum) % L]
+    digits = msm_ops.scalars_to_digits(scalars, c)
+    pad = (-digits.shape[1]) % streams
+    if pad:
+        digits = np.concatenate(
+            [digits, np.zeros((digits.shape[0], pad), np.uint32)], axis=1
+        )
+    wins, valid = _batch_device(y_limbs, signs, digits, c, streams)
+    result = msm_ops.combine_windows_host(wins, c)
+    if not bool(np.asarray(valid)):
         return False, {"reason": "invalid point encoding"}
-    result = msm_ops.msm_host_combined(points, digits)
     ok = gold.point_equal(result, gold.IDENTITY)
     return ok, {"n": len(items), "msm_points": digits.shape[1]}

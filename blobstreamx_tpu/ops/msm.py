@@ -41,13 +41,14 @@ NUM_WINDOWS = 32  # ceil(256 / 8)
 NUM_BUCKETS = 1 << WINDOW_BITS
 
 # Batch-verify path defaults (profiled on TPU v5e, benches/ed_profile.py):
-# narrow windows + many streams minimize SEQUENTIAL point ops — the scan
-# steps are latency-bound (each complete add inlines ~9 field muls whose
-# carry chains serialize), so step count beats per-step lane width. c=4
-# gives 16 buckets (4-step suffix scan vs 8) and lets 128 streams fit in
-# a 64*16*128 = 131k-lane bucket array (~34 MB/coord).
+# narrow windows + moderate stream count minimize SEQUENTIAL point ops —
+# the scan steps are latency-bound (each complete add inlines ~9 field
+# muls), so step count beats per-step lane width, but the log2(K) stream
+# merge works on W*2^c*K lanes and starts dominating past K=64 (measured:
+# c4/K64 107 ms, c4/K128 183 ms, c4/K256 401 ms, c8/K64 767 ms for the
+# 513-point batch). c=4 also shortens the bucket suffix scan (4 steps).
 FAST_WINDOW_BITS = 4
-FAST_STREAMS = 128
+FAST_STREAMS = 64
 
 
 def scalars_to_digits(scalars: list[int], c: int = WINDOW_BITS) -> np.ndarray:
@@ -97,11 +98,32 @@ def _fold_groups(p: curve.Point, group: int) -> curve.Point:
 
     def step(s, h):
         src = _gather_point(s, jnp.minimum(lane + h, m - 1))
-        summed = curve.add(s, src)
+        summed = curve.add_fused(s, src)
         return curve.select(j < h, summed, s), None
 
     out, _ = jax.lax.scan(step, p, halves)
     return out
+
+
+def _fold_groups_compact(p: curve.Point, group: int) -> curve.Point:
+    """Sum each contiguous `group`-lane block, COMPACTING: returns the
+    (16, M/group) block sums directly. Unlike _fold_groups (whose masked
+    full-width adds keep every stale lane busy), each tree level here adds
+    only the surviving half — total work 2M lane-adds instead of M*log2(G),
+    and every add is a clean Pallas-tileable slab (no masks, no gathers)."""
+    m = p[0].shape[1]
+    assert group & (group - 1) == 0 and m % group == 0
+    n_groups = m // group
+    x = tuple(c.reshape(16, n_groups, group) for c in p)
+    g = group
+    while g > 1:
+        half = g // 2
+        left = tuple(c[:, :, :half].reshape(16, n_groups * half) for c in x)
+        right = tuple(c[:, :, half:].reshape(16, n_groups * half) for c in x)
+        s = curve.add_fused(left, right)
+        x = tuple(c.reshape(16, n_groups, half) for c in s)
+        g = half
+    return tuple(c.reshape(16, n_groups) for c in x)
 
 
 def accumulate_buckets(
@@ -142,15 +164,14 @@ def accumulate_buckets(
         cur = _gather_point(bkts, lane)
         # broadcast each stream's point across its windows
         pt_wk = tuple(jnp.tile(c, (1, w)) for c in pt_k)
-        new = curve.add(cur, pt_wk)
+        new = curve.add_fused(cur, pt_wk)
         return _scatter_set(bkts, lane, new), None
 
     xs = (tuple(jnp.moveaxis(c, 1, 0) for c in pts_steps), jnp.moveaxis(digs_steps, 1, 0))
     buckets, _ = jax.lax.scan(step, buckets, xs)
 
-    # merge the K stream copies: blocks of k adjacent lanes fold into lane 0
-    folded = _fold_groups(buckets, k)
-    return tuple(c.reshape(16, -1, k)[:, :, 0] for c in folded)  # (16, W*B)
+    # merge the K stream copies: compacting pairwise tree over the k lanes
+    return _fold_groups_compact(buckets, k)  # (16, W*B)
 
 
 def reduce_buckets(
@@ -171,13 +192,12 @@ def reduce_buckets(
     def step(suf, shift):
         src = _gather_point(suf, jnp.minimum(lane + shift, m - 1))
         src = curve.select(lane_b + shift < b, src, idn)
-        return curve.add(suf, src), None
+        return curve.add_fused(suf, src), None
 
     suf, _ = jax.lax.scan(step, buckets, shifts)
     # suf lane (w, j) = U_j; want sum_{j>=1} U_j: zero out U_0, fold each window
     suf = curve.select(lane_b != 0, suf, idn)
-    folded = _fold_groups(suf, b)
-    return tuple(c.reshape(16, w, b)[:, :, 0] for c in folded)  # (16, W)
+    return _fold_groups_compact(suf, b)  # (16, W)
 
 
 def combine_windows(windows: curve.Point, c: int = WINDOW_BITS) -> curve.Point:
@@ -230,7 +250,10 @@ from functools import partial as _partial
 def _msm_windows_jitted(points, digits, c: int, streams: int):
     w = digits.shape[0]
     buckets = accumulate_buckets(points, digits, streams=streams, c=c)
-    return reduce_buckets(buckets, w, c=c)
+    # stacked INSIDE the jit: the host fetches one jit output in one
+    # round-trip (eager-op results fetch pathologically on the tunneled
+    # backend — measured seconds vs ~20 ms for a jit output)
+    return jnp.stack(reduce_buckets(buckets, w, c=c), axis=0)  # (4, 16, W)
 
 
 def msm_windows(
@@ -238,19 +261,20 @@ def msm_windows(
     digits,
     c: int = FAST_WINDOW_BITS,
     streams: int = FAST_STREAMS,
-) -> curve.Point:
-    """Device Pippenger up to the per-window results: (16, W) points."""
+):
+    """Device Pippenger up to the per-window results, stacked (4, 16, W)."""
     points, digits = pad_to_streams(points, digits, streams=streams)
     return _msm_windows_jitted(points, digits, c, streams)
 
 
-def combine_windows_host(windows: curve.Point, c: int):
-    """Host Horner over the (16, W) window points: returns the extended-
-    coordinate result as python ints (x, y, z, t)."""
+def combine_windows_host(windows, c: int):
+    """Host Horner over the stacked (4, 16, W) window points: returns the
+    extended-coordinate result as python ints (x, y, z, t)."""
     from blobstreamx_tpu.fields import gf25519 as f
     from blobstreamx_tpu.golden import ed25519 as gold
 
-    coords = [f.to_int(np.asarray(comp)) for comp in windows]  # 4 x [W ints]
+    stacked = np.asarray(windows)  # (4, 16, W), one transfer
+    coords = [f.to_int(stacked[i]) for i in range(4)]  # 4 x [W ints]
     w = len(coords[0])
     acc = gold.IDENTITY
     for j in reversed(range(w)):  # acc = 2^c * acc + W_j, top window first

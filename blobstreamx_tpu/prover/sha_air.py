@@ -168,8 +168,29 @@ class Sha256Air(Air):
         return acc
 
     # ----------------------------------------------------------- constraints
-    def eval_constraints(
+    # Chunked quotient compilation (see Air.n_constraint_groups): the
+    # monolithic 1300-column constraint graph made the quotient program's
+    # XLA compile pathological (superlinear in graph size; tens of minutes
+    # on small hosts). The 8 sections below split into 6 groups — each
+    # compiles its own pruned program; concatenation order is IDENTICAL to
+    # the ungrouped list, so alpha assignment and proofs are bit-exact.
+    n_constraint_groups = 6
+
+    _GROUPS = {0: (1,), 1: (2, 3), 2: (4,), 3: (5,), 4: (6, 7), 5: (8,)}
+
+    def eval_constraints(self, local, nxt, publics, alg, **frame):
+        return self._eval_sections(
+            (1, 2, 3, 4, 5, 6, 7, 8), local, nxt, publics, alg, **frame
+        )
+
+    def eval_constraint_group(self, g, local, nxt, publics, alg, **frame):
+        return self._eval_sections(
+            self._GROUPS[g], local, nxt, publics, alg, **frame
+        )
+
+    def _eval_sections(
         self,
+        sections,
         local,
         nxt,
         publics,
@@ -180,6 +201,7 @@ class Sha256Air(Air):
         stage2=None,
         stage2_next=None,
     ):
+        sections = set(sections)
         one = alg.const(1)
         K = fixed[FX_K]
         sel_msg_n = fixed_next[FX_MSG]
@@ -218,175 +240,187 @@ class Sha256Air(Air):
         def small_sigma(m, r1, r2, sh):
             return xor3(alg.rotr_bits(m, r1), alg.rotr_bits(m, r2), alg.shr_bits(m, sh))
 
-        cs = []
-
-        # 1. booleanity of every bit column (trace cols 0..1299)
-        all_bits = frame_block(alg, local, 0, N_COLS)
-        cs.append(
-            (alg.mul(all_bits, alg.sub(all_bits, alg.const_row([1] * N_COLS))), "all")
-        )
-
-        # 2. window shift: win_next[j] = win[j-1], j = 1..15
-        shift_next = alg.stack(
-            [b for j in range(1, N_WIN) for b in _word(nxt, OFF_WIN + 32 * j)]
-        )
-        shift_cur = alg.stack(
-            [b for j in range(0, N_WIN - 1) for b in _word(local, OFF_WIN + 32 * j)]
-        )
-        cs.append((alg.sub(shift_next, shift_cur), "transition"))
-
-        # 3. message schedule: on rows whose next row is a schedule row,
-        #    val(w0') + 2^32*val(c_sched') = sig1(win1) + win6 + sig0(win14) + win15
-        w0n = val(M(OFF_WIN, nxt))
-        csched_n = alg.wsum(
-            alg.stack([nxt[OFF_CAR + CAR_SCHED + i] for i in range(2)]), [1 << 32, 1 << 33]
-        )
-        sched_rhs = alg.add(
-            alg.add(val(small_sigma(M(OFF_WIN + 32 * 1), 17, 19, 10)), val(M(OFF_WIN + 32 * 6))),
-            alg.add(val(small_sigma(M(OFF_WIN + 32 * 14), 7, 18, 3)), val(M(OFF_WIN + 32 * 15))),
-        )
-        cs.append(
-            (alg.mul(sel_sched, alg.sub(alg.add(w0n, csched_n), sched_rhs)), "transition")
-        )
-
-        # 4. round update (rows that are not the last round of a block)
-        a, b, c, d, e, f, g, h = (M(OFF_ST + 32 * j) for j in range(8))
-        not_last = alg.sub(one, sel_last)
-        s1 = big_sigma(e, 6, 11, 25)
-        # ch = e*f + (1-e)*g  ==  g + e*(f-g)
-        ch = alg.add(g, alg.mul(e, alg.sub(f, g)))
-        s0 = big_sigma(a, 2, 13, 22)
-        # maj = ab + ac + bc - 2abc
-        ab = alg.mul(a, b)
-        abc = alg.mul(ab, c)
-        maj = alg.sub(
-            alg.add(ab, alg.add(alg.mul(a, c), alg.mul(b, c))), alg.add(abc, abc)
-        )
-        t1 = alg.add(
-            alg.add(val(h), val(s1)), alg.add(alg.add(val(ch), K), val(M(OFF_WIN)))
-        )
-        t2 = alg.add(val(s0), val(maj))
-
         def carry_val(src, off, nbits):
             return alg.wsum(
                 alg.stack([src[OFF_CAR + off + i] for i in range(nbits)]),
                 [1 << (32 + i) for i in range(nbits)],
             )
 
-        a_next = val(M(OFF_ST + 32 * 0, nxt))
-        e_next = val(M(OFF_ST + 32 * 4, nxt))
-        cs.append(
-            (
-                alg.mul(
-                    not_last,
-                    alg.sub(alg.add(a_next, carry_val(nxt, CAR_A, 3)), alg.add(t1, t2)),
-                ),
-                "transition",
-            )
-        )
-        cs.append(
-            (
-                alg.mul(
-                    not_last,
-                    alg.sub(alg.add(e_next, carry_val(nxt, CAR_E, 3)), alg.add(val(d), t1)),
-                ),
-                "transition",
-            )
-        )
-        # rotations: b' = a, c' = b, d' = c, f' = e, g' = f, h' = g
-        rot_next = alg.stack(
-            [bit for j in (1, 2, 3, 5, 6, 7) for bit in _word(nxt, OFF_ST + 32 * j)]
-        )
-        rot_cur = alg.stack(
-            [bit for j in (0, 1, 2, 4, 5, 6) for bit in _word(local, OFF_ST + 32 * j)]
-        )
-        cs.append(
-            (alg.mul(alg.colv(not_last), alg.sub(rot_next, rot_cur)), "transition")
-        )
+        cs = []
 
-        # 5. digest rows: dg = hin + state_after_round_63
-        hin = [M(OFF_HIN + 32 * j) for j in range(8)]
-        dgv = [val(M(OFF_DG + 32 * j)) for j in range(8)]
-        post = {  # value of the post-round word, and its carry allocation
-            0: (alg.add(t1, t2), CAR_DGA, 3),
-            4: (alg.add(val(d), t1), CAR_DGE, 3),
-            1: (val(a), CAR_DG1 + 0, 1),
-            2: (val(b), CAR_DG1 + 1, 1),
-            3: (val(c), CAR_DG1 + 2, 1),
-            5: (val(e), CAR_DG1 + 3, 1),
-            6: (val(f), CAR_DG1 + 4, 1),
-            7: (val(g), CAR_DG1 + 5, 1),
-        }
-        for j in range(8):
-            rhs, car_off, car_bits = post[j]
+        if 1 in sections:
+            # 1. booleanity of every bit column (trace cols 0..1299)
+            all_bits = frame_block(alg, local, 0, N_COLS)
+            cs.append(
+                (alg.mul(all_bits, alg.sub(all_bits, alg.const_row([1] * N_COLS))), "all")
+            )
+
+        if 2 in sections:
+            # 2. window shift: win_next[j] = win[j-1], j = 1..15
+            shift_next = alg.stack(
+                [b for j in range(1, N_WIN) for b in _word(nxt, OFF_WIN + 32 * j)]
+            )
+            shift_cur = alg.stack(
+                [b for j in range(0, N_WIN - 1) for b in _word(local, OFF_WIN + 32 * j)]
+            )
+            cs.append((alg.sub(shift_next, shift_cur), "transition"))
+
+        if 3 in sections:
+            # 3. message schedule: on rows whose next row is a schedule row,
+            #    val(w0') + 2^32*val(c_sched') = sig1(win1) + win6 + sig0(win14) + win15
+            w0n = val(M(OFF_WIN, nxt))
+            csched_n = alg.wsum(
+                alg.stack([nxt[OFF_CAR + CAR_SCHED + i] for i in range(2)]), [1 << 32, 1 << 33]
+            )
+            sched_rhs = alg.add(
+                alg.add(val(small_sigma(M(OFF_WIN + 32 * 1), 17, 19, 10)), val(M(OFF_WIN + 32 * 6))),
+                alg.add(val(small_sigma(M(OFF_WIN + 32 * 14), 7, 18, 3)), val(M(OFF_WIN + 32 * 15))),
+            )
+            cs.append(
+                (alg.mul(sel_sched, alg.sub(alg.add(w0n, csched_n), sched_rhs)), "transition")
+            )
+
+        not_last = alg.sub(one, sel_last)
+        if sections & {4, 5}:
+            # shared by sections 4 and 5: the round-63 state and t1/t2
+            a, b, c, d, e, f, g, h = (M(OFF_ST + 32 * j) for j in range(8))
+            s1 = big_sigma(e, 6, 11, 25)
+            # ch = e*f + (1-e)*g  ==  g + e*(f-g)
+            ch = alg.add(g, alg.mul(e, alg.sub(f, g)))
+            s0 = big_sigma(a, 2, 13, 22)
+            # maj = ab + ac + bc - 2abc
+            ab = alg.mul(a, b)
+            abc = alg.mul(ab, c)
+            maj = alg.sub(
+                alg.add(ab, alg.add(alg.mul(a, c), alg.mul(b, c))), alg.add(abc, abc)
+            )
+            t1 = alg.add(
+                alg.add(val(h), val(s1)), alg.add(alg.add(val(ch), K), val(M(OFF_WIN)))
+            )
+            t2 = alg.add(val(s0), val(maj))
+
+        if 4 in sections:
+            # 4. round update (rows that are not the last round of a block)
+            a_next = val(M(OFF_ST + 32 * 0, nxt))
+            e_next = val(M(OFF_ST + 32 * 4, nxt))
             cs.append(
                 (
                     alg.mul(
-                        sel_last,
-                        alg.sub(
-                            alg.add(dgv[j], carry_val(local, car_off, car_bits)),
-                            alg.add(val(hin[j]), rhs),
-                        ),
+                        not_last,
+                        alg.sub(alg.add(a_next, carry_val(nxt, CAR_A, 3)), alg.add(t1, t2)),
                     ),
                     "transition",
                 )
             )
-        # the global last row also carries a digest; enforce it there too
-        for j in range(8):
-            rhs, car_off, car_bits = post[j]
             cs.append(
                 (
-                    alg.sub(
-                        alg.add(dgv[j], carry_val(local, car_off, car_bits)),
-                        alg.add(val(hin[j]), rhs),
+                    alg.mul(
+                        not_last,
+                        alg.sub(alg.add(e_next, carry_val(nxt, CAR_E, 3)), alg.add(val(d), t1)),
                     ),
-                    "last",
+                    "transition",
                 )
             )
+            # rotations: b' = a, c' = b, d' = c, f' = e, g' = f, h' = g
+            rot_next = alg.stack(
+                [bit for j in (1, 2, 3, 5, 6, 7) for bit in _word(nxt, OFF_ST + 32 * j)]
+            )
+            rot_cur = alg.stack(
+                [bit for j in (0, 1, 2, 4, 5, 6) for bit in _word(local, OFF_ST + 32 * j)]
+            )
+            cs.append(
+                (alg.mul(alg.colv(not_last), alg.sub(rot_next, rot_cur)), "transition")
+            )
 
-        # 6. chaining: hin constant within a block; at block boundaries the
-        #    next hin is dg (chain) or IV (new message)
-        hin_next = alg.stack([bit for j in range(8) for bit in _word(nxt, OFF_HIN + 32 * j)])
-        hin_cur = alg.stack(
-            [bit for j in range(8) for bit in _word(local, OFF_HIN + 32 * j)]
-        )
-        dg_cur = alg.stack([bit for j in range(8) for bit in _word(local, OFF_DG + 32 * j)])
-        iv_bits = _iv_bits()
-        cs.append((alg.mul(alg.colv(not_last), alg.sub(hin_next, hin_cur)), "transition"))
-        boundary = alg.sub(
-            alg.mul(alg.colv(sel_last), hin_next),
-            alg.add(
-                alg.mul(alg.colv(sel_chain), dg_cur),
-                alg.mul(alg.colv(alg.sub(sel_last, sel_chain)), alg.const_row(iv_bits)),
-            ),
-        )
-        cs.append((boundary, "transition"))
+        if 5 in sections:
+            # 5. digest rows: dg = hin + state_after_round_63
+            hin = [M(OFF_HIN + 32 * j) for j in range(8)]
+            dgv = [val(M(OFF_DG + 32 * j)) for j in range(8)]
+            post = {  # value of the post-round word, and its carry allocation
+                0: (alg.add(t1, t2), CAR_DGA, 3),
+                4: (alg.add(val(d), t1), CAR_DGE, 3),
+                1: (val(a), CAR_DG1 + 0, 1),
+                2: (val(b), CAR_DG1 + 1, 1),
+                3: (val(c), CAR_DG1 + 2, 1),
+                5: (val(e), CAR_DG1 + 3, 1),
+                6: (val(f), CAR_DG1 + 4, 1),
+                7: (val(g), CAR_DG1 + 5, 1),
+            }
+            for j in range(8):
+                rhs, car_off, car_bits = post[j]
+                cs.append(
+                    (
+                        alg.mul(
+                            sel_last,
+                            alg.sub(
+                                alg.add(dgv[j], carry_val(local, car_off, car_bits)),
+                                alg.add(val(hin[j]), rhs),
+                            ),
+                        ),
+                        "transition",
+                    )
+                )
+            # the global last row also carries a digest; enforce it there too
+            for j in range(8):
+                rhs, car_off, car_bits = post[j]
+                cs.append(
+                    (
+                        alg.sub(
+                            alg.add(dgv[j], carry_val(local, car_off, car_bits)),
+                            alg.add(val(hin[j]), rhs),
+                        ),
+                        "last",
+                    )
+                )
 
-        # 7. first round of every block: working state = hin
-        st_cur = alg.stack([bit for j in range(8) for bit in _word(local, OFF_ST + 32 * j)])
-        cs.append((alg.mul(alg.colv(sel_first), alg.sub(st_cur, hin_cur)), "all"))
-        # the very first block starts from the IV
-        cs.append((alg.sub(hin_cur, alg.const_row(iv_bits)), "first"))
+        if sections & {6, 7}:
+            hin_cur = alg.stack(
+                [bit for j in range(8) for bit in _word(local, OFF_HIN + 32 * j)]
+            )
+            iv_bits = _iv_bits()
 
-        # 8. digest bus (stage-2 accumulator)
-        w0v = val(M(OFF_WIN, nxt))
-        dg_fold_n = None
-        for j in range(8):
-            term = val(M(OFF_DG + 32 * j, nxt))
-            if j > 0:
-                term = alg.mul(term, r_pows[j - 1])
-            dg_fold_n = term if dg_fold_n is None else alg.add(dg_fold_n, term)
-        sel_mid_n = alg.sub(alg.sub(one, sel_msg_n), sel_last_n)
-        absorb = alg.add(
-            alg.mul(sel_msg_n, alg.add(alg.mul(acc, r), w0v)),
-            alg.add(
-                alg.mul(sel_last_n, alg.add(alg.mul(acc, r_pows[7]), dg_fold_n)),
-                alg.mul(sel_mid_n, acc),
-            ),
-        )
-        cs.append((alg.sub(acc_n, absorb), "transition"))
-        cs.append((alg.sub(acc, val(M(OFF_WIN))), "first"))
-        cs.append((alg.sub(acc, c_final), "last"))
+        if 6 in sections:
+            # 6. chaining: hin constant within a block; at block boundaries the
+            #    next hin is dg (chain) or IV (new message)
+            hin_next = alg.stack([bit for j in range(8) for bit in _word(nxt, OFF_HIN + 32 * j)])
+            dg_cur = alg.stack([bit for j in range(8) for bit in _word(local, OFF_DG + 32 * j)])
+            cs.append((alg.mul(alg.colv(not_last), alg.sub(hin_next, hin_cur)), "transition"))
+            boundary = alg.sub(
+                alg.mul(alg.colv(sel_last), hin_next),
+                alg.add(
+                    alg.mul(alg.colv(sel_chain), dg_cur),
+                    alg.mul(alg.colv(alg.sub(sel_last, sel_chain)), alg.const_row(iv_bits)),
+                ),
+            )
+            cs.append((boundary, "transition"))
+
+        if 7 in sections:
+            # 7. first round of every block: working state = hin
+            st_cur = alg.stack([bit for j in range(8) for bit in _word(local, OFF_ST + 32 * j)])
+            cs.append((alg.mul(alg.colv(sel_first), alg.sub(st_cur, hin_cur)), "all"))
+            # the very first block starts from the IV
+            cs.append((alg.sub(hin_cur, alg.const_row(iv_bits)), "first"))
+
+        if 8 in sections:
+            # 8. digest bus (stage-2 accumulator)
+            w0v = val(M(OFF_WIN, nxt))
+            dg_fold_n = None
+            for j in range(8):
+                term = val(M(OFF_DG + 32 * j, nxt))
+                if j > 0:
+                    term = alg.mul(term, r_pows[j - 1])
+                dg_fold_n = term if dg_fold_n is None else alg.add(dg_fold_n, term)
+            sel_mid_n = alg.sub(alg.sub(one, sel_msg_n), sel_last_n)
+            absorb = alg.add(
+                alg.mul(sel_msg_n, alg.add(alg.mul(acc, r), w0v)),
+                alg.add(
+                    alg.mul(sel_last_n, alg.add(alg.mul(acc, r_pows[7]), dg_fold_n)),
+                    alg.mul(sel_mid_n, acc),
+                ),
+            )
+            cs.append((alg.sub(acc_n, absorb), "transition"))
+            cs.append((alg.sub(acc, val(M(OFF_WIN))), "first"))
+            cs.append((alg.sub(acc, c_final), "last"))
 
         return cs
 

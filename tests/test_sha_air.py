@@ -104,6 +104,38 @@ class TestConstraintsVanish:
             assert bad.size == 0, f"constraint {idx} ({kind}) nonzero at {bad[:5]}"
 
 
+class TestConstraintGroups:
+    def test_groups_concatenate_to_eval_constraints(self):
+        """Chunked-quotient invariant (Air.eval_constraint_group contract):
+        concatenating the groups reproduces eval_constraints exactly —
+        values, kinds, order — on the host ext algebra."""
+        import numpy as np
+
+        from blobstreamx_tpu.prover.air import HostExtAlgebra
+
+        air = sha_air.Sha256Air((False, True))
+        alg = HostExtAlgebra()
+        rng = np.random.default_rng(0)
+
+        def rnd():
+            return (int(rng.integers(0, 2**62)), int(rng.integers(0, 2**62)))
+
+        local = [rnd() for _ in range(air.n_cols)]
+        nxt = [rnd() for _ in range(air.n_cols)]
+        kw = dict(
+            fixed=[rnd() for _ in range(air.n_fixed)],
+            fixed_next=[rnd() for _ in range(air.n_fixed)],
+            challenges=[rnd() for _ in range(air.n_challenges)],
+            stage2=[rnd()],
+            stage2_next=[rnd()],
+        )
+        full = air.eval_constraints(local, nxt, [], alg, **kw)
+        parts = []
+        for g in range(air.n_constraint_groups):
+            parts += air.eval_constraint_group(g, local, nxt, [], alg, **kw)
+        assert [(v, k) for v, k in full] == [(v, k) for v, k in parts]
+
+
 @pytest.mark.slow
 class TestShaStark:
     def test_roundtrip_and_tampers(self):
