@@ -12,6 +12,11 @@ target commit, so host setup stays O(headers) SHA-256 work).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -6,6 +6,11 @@ Pippenger MSM, and the identity check — the breakdown VERDICT r2 asked for
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

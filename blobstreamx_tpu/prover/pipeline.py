@@ -232,6 +232,11 @@ class SkipProof:
     # optional Ed25519 scalar-mul STARK proving the signature batch equation
     # (prover.ed_claims; the Curta-analog of upstream's in-STARK Ed25519)
     ed_stark: object | None = None
+    # optional embedded claim bundle (SkipClaimData): UNTRUSTED hints that
+    # make the serialized proof self-contained — the verifier re-derives the
+    # claim digests bound in publics[30:46] from these, so tampering with
+    # them is rejected before they influence the verdict
+    claims: object | None = None
 
 
 PHASES = ["consensus", "trace", "sha_stark", "ed_stark", "stark"]
@@ -477,6 +482,12 @@ def prove_skip(
         timing=timing.render(),
         sha_stark=sha_proof,
         ed_stark=ed_proof,
+        # embed the untrusted hint bundle whenever an aux STARK is present so
+        # the serialized proof verifies self-contained (claims are digest-
+        # checked against publics[30:46] before use)
+        claims=claim_data_from_witness(witness)
+        if (sha_proof is not None or ed_proof is not None)
+        else None,
     )
 
 
@@ -667,10 +678,17 @@ def verify_skip_proof_detailed(
     equation, and the signer/power binding between the claimed lists and the
     public sums."""
     config = config or StarkConfig()
+    claims_src = "supplied"
+    if claims is None:
+        # self-contained path: a proof blob may embed its (untrusted, digest-
+        # checked) claim bundle, so one file verifies from public inputs only
+        claims = getattr(proof, "claims", None)
+        claims_src = "embedded" if claims is not None else "none"
     detail = {
         "stark": "unchecked",
         "sha_stark": "absent" if proof.sha_stark is None else "present",
         "ed_stark": "absent" if proof.ed_stark is None else "present",
+        "claims": claims_src,
         "binding": "skipped: claim data not supplied",
     }
     pub = proof.publics

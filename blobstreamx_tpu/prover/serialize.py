@@ -175,9 +175,9 @@ def ed_claims_from_dict(d: dict):
     )
 
 
-def claim_data_to_bytes(c) -> bytes:
-    """Serialize a pipeline.SkipClaimData — the untrusted hint bundle a proof
-    carrier ships so a verifier can walk the aux STARK claims."""
+def claim_data_to_dict(c) -> dict:
+    """pipeline.SkipClaimData -> plain dict — the untrusted hint bundle a
+    verifier needs to walk the aux STARK claims."""
     d = {"schema": SCHEMA, "kind": "skip_claims"}
     if c.range_heights is not None:
         d["range_heights"] = [int(h) for h in c.range_heights]
@@ -191,13 +191,16 @@ def claim_data_to_bytes(c) -> bytes:
         d["trusted_vals"] = [[pk.hex(), int(p)] for pk, p in c.trusted_vals]
     if c.target_vals is not None:
         d["target_vals"] = [[pk.hex(), int(p)] for pk, p in c.target_vals]
-    return json.dumps(d, separators=(",", ":")).encode()
+    return d
 
 
-def claim_data_from_bytes(b: bytes):
+def claim_data_to_bytes(c) -> bytes:
+    return json.dumps(claim_data_to_dict(c), separators=(",", ":")).encode()
+
+
+def claim_data_from_dict(d: dict):
     from blobstreamx_tpu.prover.pipeline import SkipClaimData
 
-    d = json.loads(b)
     assert d.get("schema") == SCHEMA and d.get("kind") == "skip_claims"
     return SkipClaimData(
         range_heights=d.get("range_heights"),
@@ -219,8 +222,14 @@ def claim_data_from_bytes(b: bytes):
     )
 
 
+def claim_data_from_bytes(b: bytes):
+    return claim_data_from_dict(json.loads(b))
+
+
 def skip_proof_to_bytes(p) -> bytes:
-    """Serialize a pipeline.SkipProof (sha_stark aux included when present)."""
+    """Serialize a pipeline.SkipProof (sha_stark aux included when present;
+    an embedded claim bundle makes the blob self-contained — one file whose
+    every hash/signature claim the verifier can check from public inputs)."""
     d = {
         "schema": SCHEMA,
         "kind": "skip",
@@ -239,6 +248,8 @@ def skip_proof_to_bytes(p) -> bytes:
         d["sha_stark"] = sha_claims_to_dict(p.sha_stark)
     if p.ed_stark is not None:
         d["ed_stark"] = ed_claims_to_dict(p.ed_stark)
+    if getattr(p, "claims", None) is not None:
+        d["claims"] = claim_data_to_dict(p.claims)
     return json.dumps(d, separators=(",", ":")).encode()
 
 
@@ -265,6 +276,7 @@ def skip_proof_from_bytes(b: bytes):
         timing="",
         sha_stark=sha,
         ed_stark=ed,
+        claims=claim_data_from_dict(d["claims"]) if "claims" in d else None,
     )
 
 

@@ -245,11 +245,18 @@ class _LazyCols:
     constraint-group program before DCE; lazily only the referenced columns
     are ever sliced (tracing time is what it costs — XLA DCEs either way)."""
 
-    __slots__ = ("lo", "hi", "k", "_cache")
+    __slots__ = ("lo", "hi", "k", "roll", "_cache")
 
-    def __init__(self, lde, k: int):
+    def __init__(self, lde, k: int, roll: int = 0):
+        """roll > 0: the next-row frame — each accessed column is rotated by
+        -roll ON ACCESS instead of rolling the whole (n_ext, k) matrix up
+        front. XLA fuses the rotation into the consumer, so no shifted copy
+        of a multi-GB LDE is ever materialized (the old full-matrix roll was
+        both the quotient phase's peak-memory driver and, in the chunked
+        path, recomputed per group program)."""
         self.lo, self.hi = lde
         self.k = k
+        self.roll = roll
         self._cache: dict = {}
 
     def __len__(self) -> int:
@@ -263,7 +270,14 @@ class _LazyCols:
         assert 0 <= j < self.k, (j, self.k)
         hit = self._cache.get(j)
         if hit is None:
-            hit = self._cache[j] = (self.lo[:, j], self.hi[:, j])
+            if self.roll:
+                hit = (
+                    jnp.roll(self.lo[:, j], -self.roll),
+                    jnp.roll(self.hi[:, j], -self.roll),
+                )
+            else:
+                hit = (self.lo[:, j], self.hi[:, j])
+            self._cache[j] = hit
         return hit
 
     def __iter__(self):
@@ -271,9 +285,13 @@ class _LazyCols:
 
     def block(self, a: int, b: int):
         """Columns [a, b) as an (n, b-a) Gl matrix — one slice op (see
-        air.frame_block)."""
+        air.frame_block); next-row frames rotate the block on access."""
         assert 0 <= a <= b <= self.k, (a, b, self.k)
-        return self.lo[:, a:b], self.hi[:, a:b]
+        lo, hi = self.lo[:, a:b], self.hi[:, a:b]
+        if self.roll:
+            lo = jnp.roll(lo, -self.roll, axis=0)
+            hi = jnp.roll(hi, -self.roll, axis=0)
+        return lo, hi
 
 
 _tree_layers = merkle_ops.tree_layers
@@ -449,13 +467,14 @@ def _build_phases(air: Air, n: int, n_pub: int, n_chal: int, config: StarkConfig
     n_s2 = air.n_stage2
 
     def _framed(trace_lde, s2_lde, pub_gl, fixed_lde, chal_gl):
+        """Next-row frames roll lazily per accessed column (_LazyCols.roll):
+        no full-matrix shifted LDE is materialized in ANY quotient program —
+        the peak-memory fix that lets the 1069-column Ed AIR prove at 2^16
+        rows on a 16 GB chip, and the chunked path stops re-rolling per
+        group (ADVICE r2)."""
+
         def frame(lde, k):
-            cur = _LazyCols(lde, k)
-            shifted = (
-                jnp.roll(lde[0], -blowup, axis=0),
-                jnp.roll(lde[1], -blowup, axis=0),
-            )
-            return cur, _LazyCols(shifted, k)
+            return _LazyCols(lde, k), _LazyCols(lde, k, roll=blowup)
 
         local, nxt = frame(trace_lde, n_cols)
         stage2, stage2_next = frame(s2_lde, n_s2)

@@ -43,6 +43,28 @@ sp = step.prove(w, config=cfg)
 sb = step.from_bytes(step.to_bytes(sp))
 assert step.verify(sb, config=cfg)
 assert step.to_bytes(sb) == step.to_bytes(sp)
+
+# embedded claim bundle survives skip-proof transport (structure only; the
+# digest-checked verify path is exercised in the slow ed-stark roundtrip)
+from blobstreamx_tpu.circuits.skip import SkipPublicOutputs
+from blobstreamx_tpu.models import skip
+from blobstreamx_tpu.prover.pipeline import SkipClaimData, SkipProof
+fake = SkipProof(
+    outputs=SkipPublicOutputs(
+        trusted_height=1, trusted_root=b"\\x01" * 32, target_height=5,
+        target_root=b"\\x02" * 32, data_commitment=b"\\x03" * 32),
+    publics=[0] * 46, n_rows=64, stark=proof, timing="",
+    claims=SkipClaimData(
+        range_heights=[2, 3], range_data_hashes=[b"\\x04" * 32] * 2,
+        sign_items=[(b"\\x05" * 32, b"msg", b"\\x06" * 64)],
+        trusted_vals=[(b"\\x05" * 32, 7)], target_vals=[(b"\\x05" * 32, 7)]),
+)
+back2 = skip.from_bytes(skip.to_bytes(fake))
+assert back2.claims is not None
+assert back2.claims.range_heights == [2, 3]
+assert back2.claims.sign_items == fake.claims.sign_items
+assert back2.claims.trusted_vals == [(b"\\x05" * 32, 7)]
+assert skip.to_bytes(back2) == skip.to_bytes(fake)
 print("serialize battery ok")
 """
         )
@@ -71,6 +93,21 @@ assert back.ed_stark is not None
 items = pipeline.signature_items(w)
 assert pipeline.verify_skip_proof(back, cfg, sign_items=items), "roundtrip reject"
 assert skip.to_bytes(back) == skip.to_bytes(proof), "bytes not stable"
+
+# self-contained verification: the blob embeds its claim bundle, so the
+# verifier needs NOTHING beyond the blob — and reports the ed batch checked
+assert back.claims is not None and back.claims.sign_items == items
+ok, detail = pipeline.verify_skip_proof_detailed(back, cfg)
+assert ok, detail
+assert detail["claims"] == "embedded", detail
+assert detail["ed_stark"] == "ok", detail
+
+# tampering with the embedded (untrusted) claims must be rejected by the
+# digest binding / claim walk, not silently accepted
+pk, msg, sig = back.claims.sign_items[0]
+back.claims.sign_items[0] = (pk, msg + b"!", sig)
+ok2, detail2 = pipeline.verify_skip_proof_detailed(back, cfg)
+assert not ok2, detail2
 print("ed-stark transport ok")
 """
         )

@@ -91,6 +91,34 @@ class TestStark:
         assert not stark.verify(FibAir(), proof, publics, CFG, n)
 
 
+class GroupedFibAir(FibAir):
+    """FibAir with its 6 constraints split across 3 compile groups —
+    exercises the chunked-quotient path (per-group programs, global alpha
+    offsets, shared shifted-LDE prelude) at a size that compiles fast."""
+
+    n_constraint_groups = 3
+
+    def eval_constraint_group(self, g, local, nxt, publics, alg, **frame):
+        cons = self.eval_constraints(local, nxt, publics, alg, **frame)
+        return cons[2 * g : 2 * g + 2]
+
+
+class TestChunkedQuotient:
+    def test_grouped_air_bit_exact(self):
+        """The chunked-quotient prover must produce the byte-identical proof
+        of the single-program prover: group accumulators combine by exact
+        field addition and alpha powers use global offsets."""
+        from blobstreamx_tpu.prover import serialize
+
+        n = 64
+        trace, publics = fib_trace(n)
+        mono = stark.prove(FibAir(), trace, publics, CFG)
+        grouped = stark.prove(GroupedFibAir(), trace, publics, CFG)
+        assert serialize.stark_proof_to_bytes(grouped) == serialize.stark_proof_to_bytes(mono)
+        # host verifier (always eval_constraints) accepts the grouped proof
+        assert stark.verify(GroupedFibAir(), grouped, publics, CFG, n)
+
+
 class BusAir(Air):
     """Stage-2 exercise: a Horner bus accumulator over a witness column.
 
