@@ -126,6 +126,24 @@ def _fold_groups_compact(p: curve.Point, group: int) -> curve.Point:
     return tuple(c.reshape(16, n_groups) for c in x)
 
 
+def fold_group_sums(p: curve.Point, group: int) -> curve.Point:
+    """Sum each contiguous `group`-lane block -> compacted (16, M/group).
+
+    Backend-gated: on TPU use the unrolled compacting tree (every level is a
+    clean Pallas-tileable slab). Elsewhere use the scan-based fold + slice —
+    the unrolled tree's log2(G) inlined complete-Edwards adds send XLA:CPU's
+    algebraic simplifier into a circular-simplification loop when compiled
+    inside shard_map (the round-3 multichip-gate regression; scan bodies
+    trace ONE add and compile in seconds on every backend).
+    """
+    if group == 1:
+        return p
+    if jax.default_backend() == "tpu":
+        return _fold_groups_compact(p, group)
+    folded = _fold_groups(p, group)
+    return tuple(c.reshape(16, -1, group)[:, :, 0] for c in folded)
+
+
 def accumulate_buckets(
     points: curve.Point, digits, streams: int = 16, c: int = WINDOW_BITS
 ) -> curve.Point:
@@ -171,7 +189,7 @@ def accumulate_buckets(
     buckets, _ = jax.lax.scan(step, buckets, xs)
 
     # merge the K stream copies: compacting pairwise tree over the k lanes
-    return _fold_groups_compact(buckets, k)  # (16, W*B)
+    return fold_group_sums(buckets, k)  # (16, W*B)
 
 
 def reduce_buckets(
@@ -197,7 +215,7 @@ def reduce_buckets(
     suf, _ = jax.lax.scan(step, buckets, shifts)
     # suf lane (w, j) = U_j; want sum_{j>=1} U_j: zero out U_0, fold each window
     suf = curve.select(lane_b != 0, suf, idn)
-    return _fold_groups_compact(suf, b)  # (16, W)
+    return fold_group_sums(suf, b)  # (16, W)
 
 
 def combine_windows(windows: curve.Point, c: int = WINDOW_BITS) -> curve.Point:
