@@ -117,12 +117,16 @@ def cmd_verify_skip(args) -> int:
     from blobstreamx_tpu.prover import serialize
     from blobstreamx_tpu.prover.pipeline import verify_skip_proof_detailed
 
-    with open(args.proof, "rb") as f:
-        proof = skip.from_bytes(f.read())
-    claims = None
-    if args.claims:
-        with open(args.claims, "rb") as f:
-            claims = serialize.claim_data_from_bytes(f.read())
+    try:
+        with open(args.proof, "rb") as f:
+            proof = skip.from_bytes(f.read())
+        claims = None
+        if args.claims:
+            with open(args.claims, "rb") as f:
+                claims = serialize.claim_data_from_bytes(f.read())
+    except serialize.ProofDecodeError as e:
+        print(json.dumps({"ok": False, "reason": f"malformed proof: {e}"}))
+        return 1
     config = _stark_config(args)
     t0 = time.perf_counter()
     # detail says per sub-proof what was VERIFIED vs SKIPPED (a proof carrying

@@ -125,7 +125,12 @@ def _batch_device(y_limbs, signs, digits, c: int, streams: int):
     return jnp.stack(wins, axis=0), jnp.all(valid)
 
 
-def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None = None):
+def batch_verify(
+    items: list[tuple[bytes, bytes, bytes]],
+    zs: list[int] | None = None,
+    c: int | None = None,
+    streams: int | None = None,
+):
     """items: [(pubkey32, message, signature64)]. Returns (ok, diagnostics).
 
     ok is False if any encoding is invalid, any s >= L, or the batch equation
@@ -136,8 +141,12 @@ def batch_verify(items: list[tuple[bytes, bytes, bytes]], zs: list[int] | None =
     results, narrow windows + Pallas-fused complete adds), then the O(W)
     weighted combine and identity test on host bigints — the device work is
     latency-bound, so round trips and sequential point ops are what count.
+
+    c/streams default to the TPU-profiled fast config; tests pass small
+    values (the compile scales with streams x 2^c bucket lanes).
     """
-    c, streams = msm_ops.FAST_WINDOW_BITS, msm_ops.FAST_STREAMS
+    c = msm_ops.FAST_WINDOW_BITS if c is None else c
+    streams = msm_ops.fast_streams() if streams is None else streams
     assert len(items) > 0
     if zs is None:
         zs = derive_z(items)

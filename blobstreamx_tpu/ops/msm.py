@@ -51,6 +51,16 @@ FAST_WINDOW_BITS = 4
 FAST_STREAMS = 64
 
 
+def fast_streams() -> int:
+    """Backend-aware stream count for the batch-verify path. The K=64
+    TPU-profiled config means a 64*16*64-lane bucket array whose complete-
+    Edwards scan costs XLA:CPU minutes of compile; 4 streams keep the CPU
+    (test) backend bounded. Values are bit-identical either way."""
+    import jax
+
+    return FAST_STREAMS if jax.default_backend() == "tpu" else 4
+
+
 def scalars_to_digits(scalars: list[int], c: int = WINDOW_BITS) -> np.ndarray:
     """(W, N) uint32 digit matrix, digit[w, i] = (s_i >> (c*w)) & (2^c - 1)."""
     w = -(-256 // c)
@@ -231,22 +241,25 @@ def combine_windows(windows: curve.Point, c: int = WINDOW_BITS) -> curve.Point:
     return acc
 
 
-def msm(points: curve.Point, digits) -> curve.Point:
+def msm(points: curve.Point, digits, streams: int = 16, c: int = WINDOW_BITS) -> curve.Point:
     """Full Pippenger MSM: returns the (16, 1)-lane result point."""
     w = digits.shape[0]
-    buckets = accumulate_buckets(points, digits)
-    windows = reduce_buckets(buckets, w)
-    return combine_windows(windows)
+    buckets = accumulate_buckets(points, digits, streams=streams, c=c)
+    windows = reduce_buckets(buckets, w, c=c)
+    return combine_windows(windows, c=c)
 
 
-def msm_jit(points: curve.Point, digits) -> curve.Point:
-    points, digits = pad_to_streams(points, digits)
-    return _msm_jitted(points, digits)
+def msm_jit(points: curve.Point, digits, streams: int = 16, c: int = WINDOW_BITS) -> curve.Point:
+    points, digits = pad_to_streams(points, digits, streams=streams)
+    return _msm_jitted(points, digits, streams, c)
 
 
-@jax.jit
-def _msm_jitted(points, digits):
-    return msm(points, digits)
+from functools import partial as _partial_
+
+
+@_partial_(jax.jit, static_argnames=("streams", "c"))
+def _msm_jitted(points, digits, streams, c):
+    return msm(points, digits, streams=streams, c=c)
 
 
 # ---------------------------------------------------------------------------
@@ -278,9 +291,10 @@ def msm_windows(
     points: curve.Point,
     digits,
     c: int = FAST_WINDOW_BITS,
-    streams: int = FAST_STREAMS,
+    streams: int | None = None,
 ):
     """Device Pippenger up to the per-window results, stacked (4, 16, W)."""
+    streams = fast_streams() if streams is None else streams
     points, digits = pad_to_streams(points, digits, streams=streams)
     return _msm_windows_jitted(points, digits, c, streams)
 
@@ -307,7 +321,7 @@ def msm_host_combined(
     points: curve.Point,
     digits,
     c: int = FAST_WINDOW_BITS,
-    streams: int = FAST_STREAMS,
+    streams: int | None = None,
 ):
     """Fast full MSM: device buckets/windows, host combine. Returns host
     extended coordinates (x, y, z, t) as python ints."""

@@ -10,7 +10,7 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from blobstreamx_tpu.fields.gf64 import Gl
 from blobstreamx_tpu.ops import merkle as merkle_ops, poseidon as pos, sha256 as sha_ops
@@ -34,7 +34,7 @@ def _tuple_tree_fn(mesh):
             mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(None, AXIS)),
             out_specs=P(None, None),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -58,7 +58,7 @@ def _leaf_layer_fn(mesh):
     return jax.jit(
         shard_map(
             local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -85,7 +85,7 @@ def _subtree_fn(mesh, leaves_per_chip: int):
     return jax.jit(
         shard_map(
             local_subtree, mesh=mesh, in_specs=(spec, spec), out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )
     )
 

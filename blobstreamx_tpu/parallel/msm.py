@@ -45,35 +45,35 @@ def _allreduce_points(p: curve.Point, n_devices: int) -> curve.Point:
     return p
 
 
-def _local_msm(xlo, ylo, zlo, tlo, digits, *, n_devices: int, streams: int):
+def _local_msm(xlo, ylo, zlo, tlo, digits, *, n_devices: int, streams: int, c: int):
     points = (xlo, ylo, zlo, tlo)
     w = digits.shape[0]
     # 1. local bucket accumulation over this chip's point slice
-    buckets = msm_ops.accumulate_buckets(points, digits, streams=streams)
+    buckets = msm_ops.accumulate_buckets(points, digits, streams=streams, c=c)
     # 2. cross-chip bucket combine (Edwards all-reduce over ICI)
     buckets = _allreduce_points(buckets, n_devices)
     # 3. window-sharded weighted reduction
-    b = msm_ops.NUM_BUCKETS
+    b = 1 << c
     if w % n_devices == 0:
         my = jax.lax.axis_index(AXIS)
         w_local = w // n_devices
         sliced = tuple(
-            jax.lax.dynamic_slice_in_dim(c, my * w_local * b, w_local * b, axis=1)
-            for c in buckets
+            jax.lax.dynamic_slice_in_dim(x, my * w_local * b, w_local * b, axis=1)
+            for x in buckets
         )
-        windows = msm_ops.reduce_buckets(sliced, w_local)
-        windows = tuple(jax.lax.all_gather(c, AXIS, axis=1, tiled=True) for c in windows)
+        windows = msm_ops.reduce_buckets(sliced, w_local, c=c)
+        windows = tuple(jax.lax.all_gather(x, AXIS, axis=1, tiled=True) for x in windows)
     else:
-        windows = msm_ops.reduce_buckets(buckets, w)
+        windows = msm_ops.reduce_buckets(buckets, w, c=c)
     # 4. replicated Horner combine
-    return msm_ops.combine_windows(windows)
+    return msm_ops.combine_windows(windows, c=c)
 
 
 @lru_cache(maxsize=None)
-def _msm_fn(mesh, streams: int):
+def _msm_fn(mesh, streams: int, c: int):
     d = mesh.devices.size
     pt_spec = P(None, AXIS)
-    fn = partial(_local_msm, n_devices=d, streams=streams)
+    fn = partial(_local_msm, n_devices=d, streams=streams, c=c)
     return jax.jit(
         shard_map(
             fn,
@@ -88,25 +88,37 @@ def _msm_fn(mesh, streams: int):
 def msm_sharded(points: curve.Point, digits, mesh, streams: int = 16) -> curve.Point:
     """Multi-chip MSM. points: (16, N) coord tuple; digits: (W, N) uint32.
 
+    The window width c is inferred from the digit matrix (W = ceil(256/c)),
+    so callers pick the compile/runtime tradeoff by choosing their
+    scalars_to_digits c — narrow windows compile far faster (fewer bucket
+    lanes), wide windows do fewer scan steps on big batches.
+
     Pads N to a multiple of D*streams with identity/digit-0 lanes (free:
     bucket 0 is never reduced), shards points per chip, returns the
     replicated (16, 1) result point.
     """
     d = mesh.devices.size
+    w = int(digits.shape[0])
+    c = -(-256 // w)
+    assert -(-256 // c) == w, f"digit rows {w} do not match a window width"
     points, digits = msm_ops.pad_to_streams(points, digits, streams=streams * d)
     sharding = NamedSharding(mesh, P(None, AXIS))
     points = jax.device_put(points, sharding)
     digits = jax.device_put(digits, sharding)
-    return _msm_fn(mesh, streams)(*points, digits)
+    return _msm_fn(mesh, streams, c)(*points, digits)
 
 
-def batch_verify_sharded(items, mesh, zs=None, streams: int = 16):
+def batch_verify_sharded(
+    items, mesh, zs=None, streams: int = 16, c: int = msm_ops.FAST_WINDOW_BITS
+):
     """Multi-chip Ed25519 batch verification: decompression data-parallel,
     batch equation as one sharded (2n+1)-point MSM. Same protocol as
-    ops.ed25519.batch_verify."""
+    ops.ed25519.batch_verify. Narrow windows (c=4) by default, matching the
+    fast single-chip path: fewer bucket lanes compile far faster and the
+    result is bit-identical."""
     from blobstreamx_tpu.ops import ed25519 as dev_ed
 
-    prep = dev_ed.prepare_batch(items, zs)
+    prep = dev_ed.prepare_batch(items, zs, c=c)
     if prep is None:
         return False, {"reason": "malformed input or s >= L"}
     points, digits, n_invalid = prep

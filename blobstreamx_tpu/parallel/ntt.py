@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from blobstreamx_tpu.fields import gf64
 from blobstreamx_tpu.fields.gf64 import Gl, gl_mul
@@ -67,7 +67,7 @@ def _sharded_ntt_fn(mesh, inverse: bool):
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
             out_specs=(spec, spec),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -107,7 +107,7 @@ def _sharded_lde_fn(mesh, rate_bits: int, shift: int):
     return jax.jit(
         shard_map(
             local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
-            check_rep=False,
+            check_vma=False,
         )
     )
 

@@ -133,8 +133,11 @@ class EdScalarMulAir(Air):
         self.nt = ((1 << 16) + n - 1) // n
         self.n_cols = OFF_MULT + self.nt
         self.n_fixed = FX_TABLE + self.nt
-        self.n_stage2 = N_LOOKUP + self.nt + 1 + 1  # w.., wm.., A, bus
-        self.n_challenges = 66  # r^1..r^64, C, beta
+        # paired-ext logUp wells [u0.., u1.., wm0.., wm1.., A0, A1] + digest
+        # bus — the GF(p^2) challenge at the OLD base-field column budget
+        # (one ext well covers TWO lookup columns at degree 3)
+        self.n_stage2 = lookup.n_stage2_cols_multi_ext(N_LOOKUP, self.nt) + 1
+        self.n_challenges = 67  # r^1..r^64, C, beta0, beta1 (GF(p^2) logUp)
 
     def cache_key(self):
         return (type(self), self.n_segments)
@@ -167,17 +170,19 @@ class EdScalarMulAir(Air):
         for _ in range(63):
             rp.append(gold.mul(rp[-1], r))
         c = fold_ed_claims(aux, r)
-        beta = challenger.sample()
-        return rp + [c, beta]
+        # logUp challenge from GF(p^2): ~2^-101 soundness instead of the
+        # base field's ~2^-40 (prover.lookup module docstring)
+        beta = challenger.sample_ext()
+        return rp + [c, beta[0], beta[1]]
 
     def build_stage2(self, trace: np.ndarray, challenges: list[int], aux) -> np.ndarray:
         n = trace.shape[0]
         r = int(challenges[0])
-        beta = int(challenges[65])
+        beta = (int(challenges[65]), int(challenges[66]))
         values = trace[:, OFF_WIT : OFF_WIT + N_LOOKUP]
         mult = trace[:, OFF_MULT : OFF_MULT + self.nt]
         table = lookup.range_table_columns(n)
-        lu = lookup.build_logup_stage2_multi(values, mult, table, beta)
+        lu = lookup.build_logup_stage2_multi_ext(values, mult, table, beta)
 
         r48 = pow(r, 48, P)
         r64 = pow(r, 64, P)
@@ -377,7 +382,7 @@ class EdScalarMulAir(Air):
         self, local, nxt, alg, fixed, fixed_next, challenges, stage2, stage2_next
     ):
         nt = self.nt
-        beta = challenges[65]
+        beta0, beta1 = challenges[65], challenges[66]
         cs = []
         # 9. logUp 16-bit range checks over every mul-witness and P limb
         values_m = frame_block(alg, local, OFF_WIT, OFF_WIT + N_LOOKUP)
@@ -386,9 +391,10 @@ class EdScalarMulAir(Air):
         mult_mn = frame_block(alg, nxt, OFF_MULT, OFF_MULT + nt)
         table_m = frame_block(alg, fixed, FX_TABLE, FX_TABLE + nt)
         table_mn = frame_block(alg, fixed_next, FX_TABLE, FX_TABLE + nt)
-        cs += lookup.eval_logup_multi(
+        cs += lookup.eval_logup_multi_ext(
             alg,
-            beta,
+            beta0,
+            beta1,
             values_m,
             mult_m,
             table_m,

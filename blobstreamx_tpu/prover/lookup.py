@@ -15,13 +15,21 @@ difference accumulates in a stage-2 column pinned to zero on the last row:
     w_j (β - v_j) = 1          wm (β - T) = m
     A_first = Σ w_j - wm       A' = A + Σ w_j' - wm'       A_last = 0
 
-Soundness: β is sampled after v/m are committed (Schwartz–Zippel over the
-base field; ~n/|F| ≈ 2^-44 for n = 2^20 — the extension-field challenge
-upgrade is noted in the module TODO).
+Soundness: β is sampled after v/m are committed. The PRODUCTION variant
+(`*_multi_ext`, used by the Ed25519 AIR) samples β from GF(p²) = GF(p)[X]/
+(X²-7): a cheating multiset must make the rational identity hold at the
+random β, i.e. β must hit a root of a nonzero rational function with at most
+(k+nt)·n ≈ 2^27 poles/zeros — probability ≤ 2^27 / p² ≈ 2^-101 (plonky2-
+class; closes the r3 TODO). The ext element is carried as TWO base-field
+challenge slots (β₀, β₁) and every ext constraint splits into its two GF(p)
+components, so the two-stage STARK machinery (base-field quotient) is
+untouched. The base-field single-table variant (`eval_logup_constraints`)
+is kept for unit tests and small gadgets; its bound is only ~n·k/p ≈ 2^-40
+and it must not guard a production table.
 
 Helpers here are algebra-generic (device + host verifier), so an AIR mixes
-lookups in by reserving stage-2 columns [w_0..w_{k-1}, wm, A] and calling
-eval_logup_constraints from its eval_constraints.
+lookups in by reserving stage-2 columns and calling the eval helpers from
+its eval_constraints.
 """
 
 from __future__ import annotations
@@ -231,3 +239,222 @@ def build_logup_stage2_multi(values: np.ndarray, mult: np.ndarray,
         A[i] = acc
     assert acc == 0, "lookup multiset mismatch (witness bug)"
     return np.concatenate([W, WM, A[:, None]], axis=1)
+
+
+# ----------------------------------------------------------------------------
+# GF(p^2)-challenge variant (production): beta = (b0, b1) in GF(p)[X]/(X^2-7).
+# Stage-2 rational columns become ext pairs — layout
+#   [w0_0..w0_{k-1}, w1_0..w1_{k-1}, wm0_0..wm0_{t-1}, wm1_0..wm1_{t-1}, A0, A1]
+# and every ext equation contributes its two GF(p) component constraints.
+# ----------------------------------------------------------------------------
+
+EXT_W = gold.EXT_W  # X^2 = 7
+
+
+def n_stage2_cols_multi_ext(n_lookup_cols: int, n_table_cols: int) -> int:
+    """Paired ext wells: one GF(p²) well (2 base columns) per PAIR of lookup
+    columns (logUp numerator batching — w·(β−v₁)(β−v₂) = 2β−v₁−v₂, degree 3),
+    + (wm0, wm1) per table column + (A0, A1). Same column budget as the old
+    base-field layout while carrying the 2^-101 ext-challenge soundness."""
+    q = n_lookup_cols // 2 + n_lookup_cols % 2
+    return 2 * q + 2 * n_table_cols + 2
+
+
+def _evens_odds(m):
+    """Split a width-k algebra matrix into its even / odd columns (device:
+    tuple of (n, k) arrays; host verifier: list of ext pairs)."""
+    if isinstance(m, list):
+        return m[0::2], m[1::2]
+    return tuple(c[:, 0::2] for c in m), tuple(c[:, 1::2] for c in m)
+
+
+def _last_col(m):
+    if isinstance(m, list):
+        return m[-1]
+    return tuple(c[:, -1] for c in m)
+
+
+def eval_logup_multi_ext(alg, beta0, beta1, values_m, mult_m, table_m,
+                         values_m_next, mult_m_next, table_m_next,
+                         stage2, stage2_next, n_vals: int, n_tabs: int):
+    """Matrix-form logUp with a GF(p²) challenge and PAIRED wells.
+
+    For a pair (va, vb) the committed ext well u satisfies
+        u · (β − va) · (β − vb) = (β − va) + (β − vb) = 2β − va − vb
+    i.e. u = 1/(β−va) + 1/(β−vb) — one well sums two reciprocals, halving
+    the stage-2 column count (Haböck logUp numerator batching). With
+    q = (β−va)(β−vb) = (s·t + 7·b₁², (s+t)·b₁), s = b₀−va, t = b₀−vb, the
+    X²=7 component constraints are (degree 3 in committed columns):
+        re: u0·q0 + u1·(7·q1) − (s + t) = 0
+        im: u0·q1 + u1·q0 − 2·b₁       = 0
+    An odd trailing column keeps a single degree-2 well u·(β−v) = 1.
+    Table wells stay single (wm·(β−T) = m). The accumulator runs
+    componentwise over Σu − Σwm.
+    """
+    from .air import frame_block
+
+    k, nt = n_vals, n_tabs
+    npairs, rem = k // 2, k % 2
+    q_wells = npairs + rem
+    u0 = frame_block(alg, stage2, 0, q_wells)
+    u1 = frame_block(alg, stage2, q_wells, 2 * q_wells)
+    wm0 = frame_block(alg, stage2, 2 * q_wells, 2 * q_wells + nt)
+    wm1 = frame_block(alg, stage2, 2 * q_wells + nt, 2 * q_wells + 2 * nt)
+    a0 = stage2[2 * q_wells + 2 * nt]
+    a1 = stage2[2 * q_wells + 2 * nt + 1]
+    u0n = frame_block(alg, stage2_next, 0, q_wells)
+    u1n = frame_block(alg, stage2_next, q_wells, 2 * q_wells)
+    wm0n = frame_block(alg, stage2_next, 2 * q_wells, 2 * q_wells + nt)
+    wm1n = frame_block(alg, stage2_next, 2 * q_wells + nt, 2 * q_wells + 2 * nt)
+    a0n = stage2_next[2 * q_wells + 2 * nt]
+    a1n = stage2_next[2 * q_wells + 2 * nt + 1]
+
+    # small scalar constants from the challenge, built by ADDS so they keep
+    # the challenge's scalar shape in both algebra worlds (alg.const is
+    # full-height in the device world and breaks matrix broadcasting)
+    b1x2 = alg.add(beta1, beta1)
+    b1x4 = alg.add(b1x2, b1x2)
+    seven_b1 = alg.add(alg.add(b1x4, b1x2), beta1)
+    b1sq7 = alg.mul(seven_b1, beta1)  # 7·b₁²
+
+    cs = []
+    if npairs:
+        if rem:
+            # paired part uses columns [0, 2*npairs); the trailing single
+            # well gets its own constraints below
+            def drop_last(m):
+                if isinstance(m, list):
+                    return m[:-1]
+                return tuple(c[:, :-1] for c in m)
+
+            paired_vals = drop_last(values_m)
+            up0, up1 = (
+                (u0[:-1], u1[:-1])
+                if isinstance(u0, list)
+                else (tuple(c[:, :-1] for c in u0), tuple(c[:, :-1] for c in u1))
+            )
+        else:
+            paired_vals = values_m
+            up0, up1 = u0, u1
+        va, vb = _evens_odds(paired_vals)
+        s = alg.sub(beta0, va)
+        t = alg.sub(beta0, vb)
+        st_sum = alg.add(s, t)
+        q0 = alg.add(alg.mul(s, t), b1sq7)
+        q1 = alg.mul(st_sum, beta1)
+        cs.append((
+            alg.sub(
+                alg.add(alg.mul(up0, q0), alg.mul(up1, alg.mul(st_sum, seven_b1))),
+                st_sum,
+            ),
+            "all",
+        ))
+        cs.append((
+            alg.sub(alg.add(alg.mul(up0, q1), alg.mul(up1, q0)), b1x2),
+            "all",
+        ))
+    if rem:
+        v_last = _last_col(values_m)
+        ul0, ul1 = _last_col(u0), _last_col(u1)
+        one = alg.const(1)
+        bmv = alg.sub(beta0, v_last)
+        cs.append((
+            alg.sub(alg.add(alg.mul(ul0, bmv), alg.mul(ul1, seven_b1)), one),
+            "all",
+        ))
+        cs.append((alg.add(alg.mul(ul0, beta1), alg.mul(ul1, bmv)), "all"))
+
+    # table wells
+    bmt = alg.sub(beta0, table_m)
+    cs.append((
+        alg.sub(alg.add(alg.mul(wm0, bmt), alg.mul(wm1, seven_b1)), mult_m),
+        "all",
+    ))
+    cs.append((alg.add(alg.mul(wm0, beta1), alg.mul(wm1, bmt)), "all"))
+
+    def delta(ws, wms):
+        return alg.sub(alg.sum_cols(ws), alg.sum_cols(wms))
+
+    d0, d1 = delta(u0, wm0), delta(u1, wm1)
+    d0n, d1n = delta(u0n, wm0n), delta(u1n, wm1n)
+    cs.append((alg.sub(a0, d0), "first"))
+    cs.append((alg.sub(a1, d1), "first"))
+    cs.append((alg.sub(a0n, alg.add(a0, d0n)), "transition"))
+    cs.append((alg.sub(a1n, alg.add(a1, d1n)), "transition"))
+    cs.append((a0, "last"))
+    cs.append((a1, "last"))
+    return cs
+
+
+def build_logup_stage2_multi_ext(values: np.ndarray, mult: np.ndarray,
+                                 table: np.ndarray, beta: tuple[int, int]) -> np.ndarray:
+    """Host construction of [u0.., u1.., wm0.., wm1.., A0, A1] for (n, k)
+    small-range lookup values, (n, nt) multiplicities and (n, nt) tables,
+    with PAIRED wells: u_i = 1/(β−v_{2i}) + 1/(β−v_{2i+1}) (a trailing odd
+    column keeps a single-reciprocal well).
+
+    1/(β − u) in GF(p²) for base u: with a = (b0 − u, b1), a⁻¹ =
+    (a0, −a1) / (a0² − 7·b1²); the norms over the DISTINCT value set get one
+    Montgomery batch inversion, the big matrices are numpy gathers."""
+    b0, b1 = int(beta[0]) % P, int(beta[1]) % P
+    n, k = values.shape
+    uniq = np.unique(np.concatenate([values.reshape(-1), table.reshape(-1)]))
+    sq_b1_7 = (EXT_W * b1 * b1) % P
+    norms = [((b0 - int(u)) * (b0 - int(u)) - sq_b1_7) % P for u in uniq]
+    inv_norms = _batch_inv(norms)
+    re_arr = np.array(
+        [((b0 - int(u)) * iv) % P for u, iv in zip(uniq, inv_norms)], dtype=np.uint64
+    )
+    im_arr = np.array([(-b1 * iv) % P for iv in inv_norms], dtype=np.uint64)
+
+    def gather(arr, x):
+        idx = np.searchsorted(uniq, x.reshape(-1))
+        return arr[idx].reshape(x.shape)
+
+    W0, W1 = gather(re_arr, values), gather(im_arr, values)
+    T0, T1 = gather(re_arr, table), gather(im_arr, table)
+
+    def addmod(a, b):
+        out = np.empty(a.shape, dtype=np.uint64)
+        flat = ((int(x) + int(y)) % P for x, y in zip(a.reshape(-1), b.reshape(-1)))
+        out.reshape(-1)[:] = np.fromiter(flat, dtype=np.uint64, count=a.size)
+        return out
+
+    npairs, rem = k // 2, k % 2
+    # paired wells: columnwise sums of the two reciprocals
+    U0 = addmod(W0[:, 0 : 2 * npairs : 2], W0[:, 1 : 2 * npairs : 2])
+    U1 = addmod(W1[:, 0 : 2 * npairs : 2], W1[:, 1 : 2 * npairs : 2])
+    if rem:
+        U0 = np.concatenate([U0, W0[:, -1:]], axis=1)
+        U1 = np.concatenate([U1, W1[:, -1:]], axis=1)
+
+    flat_m = mult.reshape(-1)
+    WM0 = np.fromiter(
+        ((int(m) * int(t)) % P for m, t in zip(flat_m, T0.reshape(-1))),
+        dtype=np.uint64, count=flat_m.size,
+    ).reshape(table.shape)
+    WM1 = np.fromiter(
+        ((int(m) * int(t)) % P for m, t in zip(flat_m, T1.reshape(-1))),
+        dtype=np.uint64, count=flat_m.size,
+    ).reshape(table.shape)
+
+    def rowsum_mod(M_: np.ndarray) -> np.ndarray:
+        lo = (M_ & np.uint64(0xFFFFFFFF)).sum(axis=1, dtype=np.uint64)
+        hi = (M_ >> np.uint64(32)).sum(axis=1, dtype=np.uint64)
+        return np.fromiter(
+            (((int(a) + (int(b) << 32)) % P) for a, b in zip(lo, hi)),
+            dtype=np.uint64, count=lo.size,
+        )
+
+    sw0, sw1 = rowsum_mod(U0), rowsum_mod(U1)
+    swm0, swm1 = rowsum_mod(WM0), rowsum_mod(WM1)
+    acc0 = acc1 = 0
+    A0 = np.zeros(n, dtype=np.uint64)
+    A1 = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        acc0 = (acc0 + int(sw0[i]) - int(swm0[i])) % P
+        acc1 = (acc1 + int(sw1[i]) - int(swm1[i])) % P
+        A0[i] = acc0
+        A1[i] = acc1
+    assert acc0 == 0 and acc1 == 0, "lookup multiset mismatch (witness bug)"
+    return np.concatenate([U0, U1, WM0, WM1, A0[:, None], A1[:, None]], axis=1)

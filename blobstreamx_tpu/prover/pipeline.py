@@ -757,7 +757,12 @@ def verify_skip_proof_detailed(
                 return False, detail
             detail["sha_stark"] = "ok: tuple tree"
         else:
-            detail["sha_stark"] = "skipped: claim data not supplied"
+            # FAIL CLOSED: a proof carrying an aux STARK promises its hash
+            # claims were proven; without the claim data those claims cannot
+            # be checked, and "present but unverified" must not read as ok
+            # (a stripped-claims blob would otherwise pass, ADVICE r3).
+            detail["sha_stark"] = "failed: claim data unavailable (fail closed)"
+            return False, detail
 
     if proof.ed_stark is not None:
         if claims is not None and claims.sign_items is not None:
@@ -770,7 +775,9 @@ def verify_skip_proof_detailed(
                 return False, detail
             detail["ed_stark"] = "ok"
         else:
-            detail["ed_stark"] = "skipped: claim data not supplied"
+            # FAIL CLOSED (see sha_stark above)
+            detail["ed_stark"] = "failed: claim data unavailable (fail closed)"
+            return False, detail
 
     if (
         claims is not None
@@ -782,6 +789,14 @@ def verify_skip_proof_detailed(
         detail["binding"] = r if r == "ok" else f"failed: {r}"
         if r != "ok":
             return False, detail
+    elif proof.ed_stark is not None and claims_src == "embedded":
+        # the batch equation alone doesn't tie signers to the public power
+        # sums. A self-contained blob's embedded bundle always carries the
+        # validator lists (the prover writes them); one missing them was
+        # truncated — fail closed. (A caller SUPPLYING partial claims made a
+        # deliberate choice; detail["binding"] records the skip.)
+        detail["binding"] = "failed: embedded claims lack binding inputs (fail closed)"
+        return False, detail
     return True, detail
 
 

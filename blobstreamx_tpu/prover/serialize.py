@@ -18,6 +18,30 @@ from blobstreamx_tpu.prover.fri_ext import FriExtLayerProof, FriExtProof, FriExt
 SCHEMA = 1
 
 
+class ProofDecodeError(ValueError):
+    """A proof/claims blob failed to parse or failed schema validation.
+
+    Raised (never assert, which `python -O` strips) so untrusted bytes map to
+    a clean typed rejection instead of an arbitrary crash (ADVICE r3)."""
+
+
+def _require(cond: bool, why: str) -> None:
+    if not cond:
+        raise ProofDecodeError(why)
+
+
+def _decode(parse, b: bytes):
+    """Run an untrusted-bytes parser, mapping every malformed-input failure
+    mode (bad JSON, missing keys, bad hex, wrong types/arity) to
+    ProofDecodeError."""
+    try:
+        return parse(json.loads(b))
+    except ProofDecodeError:
+        raise
+    except (ValueError, KeyError, TypeError, IndexError, AttributeError) as e:
+        raise ProofDecodeError(f"malformed proof blob: {type(e).__name__}: {e}") from e
+
+
 def _ext(v) -> list[int]:
     return [int(v[0]), int(v[1])]
 
@@ -67,7 +91,7 @@ def stark_proof_to_dict(p: stark.StarkProof) -> dict:
 
 
 def stark_proof_from_dict(d: dict) -> stark.StarkProof:
-    assert d.get("schema") == SCHEMA, f"unknown proof schema {d.get('schema')}"
+    _require(d.get("schema") == SCHEMA, f"unknown proof schema {d.get('schema')}")
     fri = FriExtProof(
         caps=[[list(x) for x in cap] for cap in d["fri"]["caps"]],
         final_poly=[tuple(v) for v in d["fri"]["final_poly"]],
@@ -114,7 +138,7 @@ def stark_proof_to_bytes(p: stark.StarkProof) -> bytes:
 
 
 def stark_proof_from_bytes(b: bytes) -> stark.StarkProof:
-    return stark_proof_from_dict(json.loads(b))
+    return _decode(stark_proof_from_dict, b)
 
 
 def sha_claims_to_dict(p) -> dict:
@@ -201,7 +225,8 @@ def claim_data_to_bytes(c) -> bytes:
 def claim_data_from_dict(d: dict):
     from blobstreamx_tpu.prover.pipeline import SkipClaimData
 
-    assert d.get("schema") == SCHEMA and d.get("kind") == "skip_claims"
+    _require(d.get("schema") == SCHEMA and d.get("kind") == "skip_claims",
+             "not a skip_claims blob")
     return SkipClaimData(
         range_heights=d.get("range_heights"),
         range_data_hashes=None
@@ -223,7 +248,7 @@ def claim_data_from_dict(d: dict):
 
 
 def claim_data_from_bytes(b: bytes):
-    return claim_data_from_dict(json.loads(b))
+    return _decode(claim_data_from_dict, b)
 
 
 def skip_proof_to_bytes(p) -> bytes:
@@ -254,11 +279,14 @@ def skip_proof_to_bytes(p) -> bytes:
 
 
 def skip_proof_from_bytes(b: bytes):
+    return _decode(_skip_proof_from_dict, b)
+
+
+def _skip_proof_from_dict(d: dict):
     from blobstreamx_tpu.circuits.skip import SkipPublicOutputs
     from blobstreamx_tpu.prover import pipeline
 
-    d = json.loads(b)
-    assert d.get("schema") == SCHEMA and d.get("kind") == "skip"
+    _require(d.get("schema") == SCHEMA and d.get("kind") == "skip", "not a skip proof blob")
     out = SkipPublicOutputs(
         trusted_height=d["outputs"]["trusted_height"],
         trusted_root=bytes.fromhex(d["outputs"]["trusted_root"]),
@@ -299,11 +327,14 @@ def step_proof_to_bytes(p) -> bytes:
 
 
 def step_proof_from_bytes(b: bytes):
+    return _decode(_step_proof_from_dict, b)
+
+
+def _step_proof_from_dict(d: dict):
     from blobstreamx_tpu.circuits.step import StepPublicOutputs
     from blobstreamx_tpu.prover import pipeline
 
-    d = json.loads(b)
-    assert d.get("schema") == SCHEMA and d.get("kind") == "step"
+    _require(d.get("schema") == SCHEMA and d.get("kind") == "step", "not a step proof blob")
     out = StepPublicOutputs(
         prev_height=d["outputs"]["prev_height"],
         prev_root=bytes.fromhex(d["outputs"]["prev_root"]),

@@ -178,3 +178,24 @@ class TestCli:
         cfg = cli._stark_config(A())
         assert cfg.rate_bits == 2 and cfg.num_query_rounds == 9
         assert cfg.cap_height == StarkConfig().cap_height
+
+
+class TestSourceHygiene:
+    def test_single_shard_map_api(self):
+        """One shard_map import path repo-wide (VERDICT r3 weak #9): the
+        deprecated jax.experimental.shard_map / check_rep spelling forks
+        behavior across jax upgrades. Canonical: `from jax import shard_map`
+        with check_vma."""
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        self_path = pathlib.Path(__file__).resolve()
+        offenders = []
+        for base in ("blobstreamx_tpu", "tests", "benches"):
+            for p in (root / base).rglob("*.py"):
+                if p.resolve() == self_path:
+                    continue  # this guard names the deprecated spellings
+                text = p.read_text()
+                if "experimental.shard_map" in text or "check_rep" in text:
+                    offenders.append(str(p.relative_to(root)))
+        assert not offenders, f"deprecated shard_map API in: {offenders}"

@@ -23,7 +23,7 @@ assert distributed.maybe_initialize(
 import jax
 import jax.numpy as jnp
 from jax.experimental.multihost_utils import process_allgather
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 assert jax.process_count() == 2, jax.process_count()

@@ -54,23 +54,44 @@ def _trace(values):
 
 
 class TestLogUp:
-    def test_in_range_roundtrip(self):
-        rng = np.random.default_rng(2)
-        trace = _trace(rng.integers(0, N, size=N, dtype=np.uint64))
-        proof = stark.prove(RangeAir(), trace, [], CFG)
-        assert stark.verify(RangeAir(), proof, [], CFG, N)
+    def test_roundtrip_and_out_of_range(self):
+        """RangeAir prove probes in one 1-device subprocess (tests/subproc.py;
+        the 8-device in-process config pays ~10x on the phase compiles)."""
+        from subproc import run_py
 
-    def test_out_of_range_witness_fails(self):
-        """An out-of-range value cannot satisfy the identity: the honest
-        stage-2 builder's self-check trips (the accumulator cannot close)."""
-        rng = np.random.default_rng(3)
-        vals = rng.integers(0, N, size=N, dtype=np.uint64)
-        vals[7] = N + 5  # not in the table
-        trace = _trace(vals)
-        import pytest
+        run_py(
+            """
+import sys; sys.path.insert(0, "tests")
+import numpy as np
+from test_lookup import RangeAir, _trace, CFG, N
+from blobstreamx_tpu.prover import stark
 
-        with pytest.raises(AssertionError):
-            stark.prove(RangeAir(), trace, [], CFG)
+rng = np.random.default_rng(2)
+trace = _trace(rng.integers(0, N, size=N, dtype=np.uint64))
+proof = stark.prove(RangeAir(), trace, [], CFG)
+assert stark.verify(RangeAir(), proof, [], CFG, N)
+
+# out-of-range witness: the honest stage-2 builder's self-check trips
+vals = rng.integers(0, N, size=N, dtype=np.uint64)
+vals[7] = N + 5
+try:
+    stark.prove(RangeAir(), _trace(vals), [], CFG)
+    raise SystemExit("out-of-range witness must not prove")
+except AssertionError:
+    pass
+
+# forged multiplicity: same closing assert
+vals0 = np.zeros(N, dtype=np.uint64)
+t2 = _trace(vals0)
+t2[0, 1] = N - 1
+try:
+    stark.prove(RangeAir(), t2, [], CFG)
+    raise SystemExit("forged multiplicity must not prove")
+except AssertionError:
+    pass
+print("logup roundtrips ok")
+"""
+        )
 
     def test_multi_table_builder_and_vanishing(self):
         """Multi-column-table generalization: 8-bit range table spread over
@@ -119,15 +140,55 @@ class TestLogUp:
                   "first": slice(0, 1), "last": slice(n - 1, n)}[kind]
             assert not arr[sl].any(), f"constraint {idx} ({kind}) nonzero"
 
-    def test_forged_multiplicity_rejected(self):
-        """Lie about multiplicities instead: build a trace where m claims a
-        different multiset. build_stage2's closing assert fires — and if a
-        malicious prover forced an A column anyway, the 'last' pin A = 0
-        could only hold with probability ~n/|F| over beta."""
-        vals = np.zeros(N, dtype=np.uint64)  # all zeros: m[0] should be N
-        trace = _trace(vals)
-        trace[0, 1] = N - 1  # forged count
-        import pytest
 
-        with pytest.raises(AssertionError):
-            stark.prove(RangeAir(), trace, [], CFG)
+    def test_multi_table_ext_builder_and_vanishing(self):
+        """GF(p²)-challenge variant (the production path, ~2^-101 soundness):
+        stage-2 ext pairs close componentwise and the split constraints
+        vanish on the plain domain."""
+        from blobstreamx_tpu.fields import gf64
+        from blobstreamx_tpu.prover.air import DeviceAlgebra
+
+        n, k, bits = 32, 5, 8
+        rng = np.random.default_rng(11)
+        values = rng.integers(0, 1 << bits, size=(n, k), dtype=np.uint64)
+        table = lookup.range_table_columns(n, bits)
+        nt = table.shape[1]
+        mult = lookup.multiplicities_multi(values, table)
+        beta = (0xABCDEF12, 0x13572468)
+        s2 = lookup.build_logup_stage2_multi_ext(values, mult, table, beta)
+        assert s2.shape == (n, lookup.n_stage2_cols_multi_ext(k, nt))
+        assert int(s2[-1, -2]) == 0 and int(s2[-1, -1]) == 0
+
+        # spot-check one PAIRED well against golden GF(p²) arithmetic:
+        # u_j = 1/(β−v_{2j}) + 1/(β−v_{2j+1})
+        i, j = 3, 1
+        q_wells = k // 2 + k % 2
+        u = (int(s2[i, j]), int(s2[i, q_wells + j]))
+        qa = gold.ext_sub(beta, (int(values[i, 2 * j]), 0))
+        qb = gold.ext_sub(beta, (int(values[i, 2 * j + 1]), 0))
+        assert gold.ext_mul(u, gold.ext_mul(qa, qb)) == gold.ext_add(qa, qb)
+
+        import jax.numpy as jnp
+
+        def mat(x):
+            g = gf64.from_u64(x % np.uint64(P))
+            return g, (jnp.roll(g[0], -1, 0), jnp.roll(g[1], -1, 0))
+
+        alg = DeviceAlgebra((n,))
+        vm, vmn = mat(values)
+        mm, mmn = mat(mult)
+        tm, tmn = mat(table)
+        s2m, s2mn = mat(s2)
+        cols = lambda m: [(m[0][:, j], m[1][:, j]) for j in range(m[0].shape[1])]
+        b0 = tuple(c[0:1] for c in gf64.from_u64(np.array([beta[0]], np.uint64)))
+        b1 = tuple(c[0:1] for c in gf64.from_u64(np.array([beta[1]], np.uint64)))
+        cs = lookup.eval_logup_multi_ext(
+            alg, b0, b1, vm, mm, tm, vmn, mmn, tmn, cols(s2m), cols(s2mn), k, nt
+        )
+        for idx, (v, kind) in enumerate(cs):
+            arr = np.asarray(gf64.to_u64(v))
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            sl = {"all": slice(None), "transition": slice(0, n - 1),
+                  "first": slice(0, 1), "last": slice(n - 1, n)}[kind]
+            assert not arr[sl].any(), f"ext constraint {idx} ({kind}) nonzero"

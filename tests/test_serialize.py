@@ -108,6 +108,31 @@ pk, msg, sig = back.claims.sign_items[0]
 back.claims.sign_items[0] = (pk, msg + b"!", sig)
 ok2, detail2 = pipeline.verify_skip_proof_detailed(back, cfg)
 assert not ok2, detail2
+
+# FAIL CLOSED (ADVICE r3 high): deleting the claims key from the blob must
+# NOT downgrade to ok-with-skipped — the ed STARK's batch equation would
+# never be checked
+import json as _json
+d = _json.loads(skip.to_bytes(proof)); del d["claims"]
+stripped = skip.from_bytes(_json.dumps(d, separators=(",", ":")).encode())
+ok3, detail3 = pipeline.verify_skip_proof_detailed(stripped, cfg)
+assert not ok3 and "fail closed" in detail3["ed_stark"], detail3
+
+# embedded claims truncated to sign_items only -> binding fail-closed
+d = _json.loads(skip.to_bytes(proof))
+for k in ("trusted_vals", "target_vals"):
+    d["claims"].pop(k, None)
+trunc = skip.from_bytes(_json.dumps(d, separators=(",", ":")).encode())
+ok4, detail4 = pipeline.verify_skip_proof_detailed(trunc, cfg)
+assert not ok4 and "fail closed" in detail4["binding"], detail4
+
+# malformed bytes -> typed clean rejection, not an arbitrary crash
+from blobstreamx_tpu.prover import serialize as _ser
+try:
+    skip.from_bytes(b'{"schema":1,"kind":"skip","publics":"x"}')
+    raise AssertionError("malformed blob must raise ProofDecodeError")
+except _ser.ProofDecodeError:
+    pass
 print("ed-stark transport ok")
 """
         )
