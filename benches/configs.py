@@ -160,7 +160,7 @@ def config4():
 
 
 def config5(
-    headers: int, validators: int, sha_stark: bool, ed_stark: bool, warm: bool = True
+    headers: int, validators: int, sha_stark, ed_stark: bool, warm: bool = True
 ):
     from blobstreamx_tpu.models import skip
 
@@ -213,6 +213,8 @@ def main() -> None:
     ap.add_argument("--headers", type=int, default=64)
     ap.add_argument("--validators", type=int, default=16)
     ap.add_argument("--sha-stark", action="store_true")
+    ap.add_argument("--sha-stark-full", action="store_true",
+                    help="full-coverage tier: EVERY SHA-256 of the relation proven in-STARK")
     ap.add_argument("--ed-stark", action="store_true")
     ap.add_argument("--no-warm", action="store_true", help="skip the second (warm) prove")
     args = ap.parse_args()
@@ -227,8 +229,9 @@ def main() -> None:
     backend = jax.default_backend()
     for c in configs:
         if c == 5:
+            sha_mode = "full" if args.sha_stark_full else args.sha_stark
             rec = config5(
-                args.headers, args.validators, args.sha_stark, args.ed_stark,
+                args.headers, args.validators, sha_mode, args.ed_stark,
                 warm=not args.no_warm,
             )
         else:

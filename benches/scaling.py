@@ -152,7 +152,12 @@ def main() -> None:
     hlo = (heights & 0xFFFFFFFF).astype(np.uint32)
     hhi = (heights >> 32).astype(np.uint32)
     words = sha_ops.bytes32_to_words([rng.bytes(32) for _ in range(n_leaves_t)])
-    t1t = _time(lambda: sha_ops.tuple_tree_root(hlo, hhi, words))
+    import jax as _jax
+
+    # jit the single-device baseline: the eager path dispatches per tree
+    # level and would make the sharded (one-program) variant look 100x
+    # better than it is
+    t1t = _time(_jax.jit(sha_ops.tuple_tree_root), hlo, hhi, words)
     sha_blocks = 3 * n_leaves_t - 1  # 2 blocks per 64 B leaf + 1 per inner node
     metrics.emit("tuple_tree_single", blocks_per_s=sha_blocks / t1t, devices=1, wall_s=t1t)
     tnt = _time(lambda: pmerkle.tuple_tree_root_sharded(hlo, hhi, words, mesh))

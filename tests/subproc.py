@@ -28,7 +28,15 @@ def _fingerprint() -> str:
 
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
+            lines = f.readlines()
+        # flags ALONE are insufficient twice over (round 2: cross-machine
+        # poisoning; round 4: a cache written earlier on this VM loaded with
+        # "Target machine feature +prefer-no-gather..." SIGILL warnings after
+        # the underlying physical host changed) — pin the microarchitecture
+        keys = ("flags", "model name", "model\t", "stepping", "microcode")
+        flags = "|".join(
+            l.strip() for l in lines if l.startswith(keys)
+        )[:4000] or "nofp"
     except OSError:
         flags = "nofp"
     try:

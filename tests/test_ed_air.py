@@ -176,5 +176,7 @@ bad2 = [(aux[0][0], aux[0][1], (out[0] + 1, out[1], out[2], out[3]))]
 assert not stark.verify(air, proof, [], CFG, n, aux=bad2), "result tamper accepted"
 print("ed25519 stark roundtrip ok")
 """,
-            timeout=3600,
+            timeout=5400,  # cold 1-dev compile of the 11-group Ed quotient
+            # runs ~1 h on this image's 2 cores; the persistent cache makes
+            # reruns minutes
         )
