@@ -55,9 +55,8 @@ def fast_streams() -> int:
     """Backend-aware stream count for the batch-verify path. The K=64
     TPU-profiled config means a 64*16*64-lane bucket array whose complete-
     Edwards scan costs XLA:CPU minutes of compile; 4 streams keep the CPU
-    (test) backend bounded. Values are bit-identical either way."""
-    import jax
-
+    (test) backend bounded. Values are bit-identical either way
+    (tests/test_curve_msm.py pins the two fold paths to equal results)."""
     return FAST_STREAMS if jax.default_backend() == "tpu" else 4
 
 

@@ -101,6 +101,11 @@ def msm_sharded(points: curve.Point, digits, mesh, streams: int = 16) -> curve.P
     w = int(digits.shape[0])
     c = -(-256 // w)
     assert -(-256 // c) == w, f"digit rows {w} do not match a window width"
+    # W -> c is not injective (e.g. c=17 also yields W=16): a digit built
+    # with a wider window would overflow the 2^c bucket lanes and JAX's
+    # clamping scatter would produce a WRONG result silently (ADVICE r4).
+    dmax = int(np.asarray(digits).max()) if digits.size else 0
+    assert dmax < (1 << c), f"digit {dmax} overflows inferred window c={c}"
     points, digits = msm_ops.pad_to_streams(points, digits, streams=streams * d)
     sharding = NamedSharding(mesh, P(None, AXIS))
     points = jax.device_put(points, sharding)

@@ -100,7 +100,16 @@ def prove_batch_stark(
         raise ValueError("malformed batch input (encoding or s >= L)")
     trace, aux = ed_air.build_ed_trace(pairs)
     air = ed_air.EdScalarMulAir(len(pairs))
-    proof = stark.prove(air, trace, [], config, aux=aux, mesh=mesh)
+    from blobstreamx_tpu.prover import stark_stream
+
+    if mesh is None:
+        # big batches route through the bounded-memory streaming prover
+        # (bit-identical proof): the 32-signature production shape's commit
+        # phase otherwise exceeds the single chip's HBM (BASELINE.md
+        # full-tier row; VERDICT r4 missing #1)
+        proof = stark_stream.prove_auto(air, trace, [], config, aux=aux)
+    else:
+        proof = stark.prove(air, trace, [], config, aux=aux, mesh=mesh)
     return EdStarkProof(stark=proof, aux=aux, n_rows=trace.shape[0])
 
 

@@ -254,9 +254,14 @@ EXT_W = gold.EXT_W  # X^2 = 7
 def n_stage2_cols_multi_ext(n_lookup_cols: int, n_table_cols: int) -> int:
     """Paired ext wells: one GF(p²) well (2 base columns) per PAIR of lookup
     columns (logUp numerator batching — w·(β−v₁)(β−v₂) = 2β−v₁−v₂, degree 3),
-    + (wm0, wm1) per table column + (A0, A1). Same column budget as the old
-    base-field layout while carrying the 2^-101 ext-challenge soundness."""
+    + (wm0, wm1) per table column + (A0, A1). The k value wells keep the old
+    base-field budget (k columns); the table wells and accumulator double
+    (2·nt + 2 vs nt + 1) — the price of the 2^-101 ext-challenge soundness."""
     q = n_lookup_cols // 2 + n_lookup_cols % 2
+    # NB vs the old base-field layout (k + nt + 1): the k value wells stay at
+    # k base columns (2 per ext well x k/2 paired wells), while the table
+    # wells and the accumulator DOUBLE (2*nt vs nt, 2 vs 1) — the ext
+    # challenge costs nt+1 extra columns, not zero (ADVICE r4).
     return 2 * q + 2 * n_table_cols + 2
 
 
@@ -401,6 +406,13 @@ def build_logup_stage2_multi_ext(values: np.ndarray, mult: np.ndarray,
     uniq = np.unique(np.concatenate([values.reshape(-1), table.reshape(-1)]))
     sq_b1_7 = (EXT_W * b1 * b1) % P
     norms = [((b0 - int(u)) * (b0 - int(u)) - sq_b1_7) % P for u in uniq]
+    if any(nv == 0 for nv in norms):
+        # beta collided with a table/value element (possible only when
+        # beta1 = 0 mod P, ~2^-64 per transcript): a zero norm would corrupt
+        # EVERY inverse in the Montgomery batch silently (ADVICE r4).
+        # Fail stop with a clear message; the caller re-proves, drawing a
+        # fresh transcript (different commitment randomness).
+        raise ValueError("logUp challenge beta collides with a looked-up value")
     inv_norms = _batch_inv(norms)
     re_arr = np.array(
         [((b0 - int(u)) * iv) % P for u, iv in zip(uniq, inv_norms)], dtype=np.uint64

@@ -15,7 +15,14 @@ import json
 from blobstreamx_tpu.prover import stark
 from blobstreamx_tpu.prover.fri_ext import FriExtLayerProof, FriExtProof, FriExtQueryRound
 
-SCHEMA = 1
+# SCHEMA history:
+#   1  round 3 layout
+#   2  round 5: Ed25519 stage-2 paired-ext wells + 67 challenges (the round-4
+#      format change that shipped without a bump, ADVICE r4), full-coverage
+#      SHA proofs sharded (starks list + max_blocks replaces stark)
+# Pre-upgrade blobs now fail at DECODE time with a clear message instead of
+# deep in verification.
+SCHEMA = 2
 
 
 class ProofDecodeError(ValueError):
@@ -143,14 +150,18 @@ def stark_proof_from_bytes(b: bytes) -> stark.StarkProof:
 
 def sha_claims_to_dict(p) -> dict:
     """Serialize a sha_claims.ShaStarkProof or skip_claims.SkipShaProof (the
-    full-coverage variant additionally carries its claimed link fields)."""
+    full-coverage variant is SHARDED — a STARK list — and additionally
+    carries its claimed link fields)."""
     d = {
-        "stark": stark_proof_to_dict(p.stark),
         "aux": [[list(map(int, w)), list(map(int, o))] for w, o in p.aux],
         "n_rows": int(p.n_rows),
     }
     if hasattr(p, "link_fields"):
+        d["starks"] = [stark_proof_to_dict(s) for s in p.starks]
+        d["max_blocks"] = int(p.max_blocks)
         d["link_fields"] = [[int(t), psh.hex()] for t, psh in p.link_fields]
+    else:
+        d["stark"] = stark_proof_to_dict(p.stark)
     return d
 
 
@@ -158,18 +169,20 @@ def sha_claims_from_dict(d: dict):
     from blobstreamx_tpu.prover.sha_claims import ShaStarkProof
 
     kw = dict(
-        stark=stark_proof_from_dict(d["stark"]),
         aux=[(tuple(w), tuple(o)) for w, o in d["aux"]],
         n_rows=int(d["n_rows"]),
     )
     if "link_fields" in d:
         from blobstreamx_tpu.prover.skip_claims import SkipShaProof
 
+        _require(isinstance(d.get("starks"), list), "sharded SHA proof lacks starks")
         return SkipShaProof(
+            starks=[stark_proof_from_dict(s) for s in d["starks"]],
+            max_blocks=int(d.get("max_blocks", 4096)),
             link_fields=[(int(t), bytes.fromhex(psh)) for t, psh in d["link_fields"]],
             **kw,
         )
-    return ShaStarkProof(**kw)
+    return ShaStarkProof(stark=stark_proof_from_dict(d["stark"]), **kw)
 
 
 def ed_claims_to_dict(p) -> dict:

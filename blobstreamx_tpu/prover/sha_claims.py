@@ -95,7 +95,9 @@ def prove_data_commitment_stark(
     assert chain == _expected_chain(len(heights))
     trace, aux = sha_air.build_sha_trace(chain, blocks)
     air = sha_air.Sha256Air(chain)
-    proof = stark.prove(air, trace, [], config, aux=aux)
+    from blobstreamx_tpu.prover import stark_stream
+
+    proof = stark_stream.prove_auto(air, trace, [], config, aux=aux)
     return ShaStarkProof(stark=proof, aux=aux, n_rows=trace.shape[0]), root
 
 

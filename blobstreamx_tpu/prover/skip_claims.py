@@ -285,27 +285,93 @@ def skip_sha_messages(witness) -> tuple[list[bytes], list[tuple[int, bytes]]]:
     return msgs, link_fields
 
 
+# -----------------------------------------------------------------------------
+# shard planning (the 1024-header tier: ~24k blocks = 2^21 trace rows at 1300
+# columns would need ~44 GB of HBM even streamed, so the batch splits into
+# deterministic shards of <= max_blocks blocks, one STARK each — the same
+# move upstream's Curta made when a batch exceeded its chip bound, and the
+# natural multi-chip data-parallel unit, SURVEY.md §2.3 DP)
+# -----------------------------------------------------------------------------
+
+DEFAULT_MAX_SHARD_BLOCKS = 4096  # 2^18 rows: ~3 GB streamed working set
+
+
+def plan_shards(lengths: list[int], max_blocks: int) -> list[tuple[int, int, int]]:
+    """Greedy deterministic shard plan over the message stream: returns
+    [(msg_lo, msg_hi, padded_blocks)] where messages [lo, hi) fill a shard of
+    `padded_blocks` (a power of two <= max_blocks, dummy-padded). Messages
+    never split across shards, so every shard's block 0 starts a message.
+    Prover and verifier derive the identical plan from the claimed lengths."""
+    assert max_blocks >= 2 and max_blocks & (max_blocks - 1) == 0
+    out = []
+    lo = 0
+    used = 0
+    for i, L in enumerate(lengths):
+        nb = _n_blocks(L)
+        assert nb <= max_blocks, "single message exceeds shard capacity"
+        if used + nb > max_blocks:
+            out.append((lo, i, 1 << (used - 1).bit_length()))
+            lo, used = i, 0
+        used += nb
+    out.append((lo, len(lengths), max(1, 1 << (used - 1).bit_length())))
+    return out
+
+
+def _shard_chain(lengths: list[int], lo: int, hi: int, padded: int) -> tuple[bool, ...]:
+    """Block chain flags of one shard (real messages + standalone dummy pads)."""
+    chain: list[bool] = []
+    for L in lengths[lo:hi]:
+        chain += [False] + [True] * (_n_blocks(L) - 1)
+    assert len(chain) <= padded
+    chain += [False] * (padded - len(chain))
+    return tuple(chain)
+
+
 @dataclass
 class SkipShaProof:
-    """Full-coverage batched-SHA STARK for one skip witness."""
+    """Full-coverage batched-SHA STARK for one skip witness, sharded: one
+    STARK per <= max_blocks block shard, aux = the concatenated per-block
+    claim stream (shard pads included — the verifier walks past them)."""
 
-    stark: stark.StarkProof
+    starks: list  # list[stark.StarkProof], one per shard
     aux: list  # per block: (w_words[16], out_words[8])
-    n_rows: int
+    n_rows: int  # total rows across shards
     link_fields: list  # claimed (part_set_total, part_set_hash) per header
+    max_blocks: int = DEFAULT_MAX_SHARD_BLOCKS
 
 
-def prove_skip_sha_stark(witness, config: StarkConfig | None = None) -> SkipShaProof:
+def prove_skip_sha_stark(
+    witness,
+    config: StarkConfig | None = None,
+    max_blocks: int = DEFAULT_MAX_SHARD_BLOCKS,
+) -> SkipShaProof:
+    from blobstreamx_tpu.prover import stark_stream
+
     config = config or StarkConfig(rate_bits=2)
     messages, link_fields = skip_sha_messages(witness)
-    chain, blocks = sha_air.plan_blocks(messages)
-    expect = _chain_from_lengths([len(m) for m in messages])
-    assert chain == expect, "block plan disagrees with verifier-side layout"
-    trace, aux = sha_air.build_sha_trace(chain, blocks)
-    air = sha_air.Sha256Air(chain)
-    proof = stark.prove(air, trace, [], config, aux=aux)
+    lengths = [len(m) for m in messages]
+    shards = plan_shards(lengths, max_blocks)
+    starks = []
+    aux_all: list = []
+    n_rows = 0
+    for lo, hi, padded in shards:
+        chain_s, blocks_s = sha_air.plan_blocks(messages[lo:hi])
+        if len(chain_s) < padded:  # plan_blocks pads to the next power of two
+            pad = gsha.pad(b"")
+            blocks_s = blocks_s + [pad] * (padded - len(chain_s))
+            chain_s = chain_s + (False,) * (padded - len(chain_s))
+        assert chain_s == _shard_chain(lengths, lo, hi, padded)
+        trace, aux_s = sha_air.build_sha_trace(chain_s, blocks_s)
+        air = sha_air.Sha256Air(chain_s)
+        starks.append(stark_stream.prove_auto(air, trace, [], config, aux=aux_s))
+        aux_all += aux_s
+        n_rows += trace.shape[0]
     return SkipShaProof(
-        stark=proof, aux=aux, n_rows=trace.shape[0], link_fields=link_fields
+        starks=starks,
+        aux=aux_all,
+        n_rows=n_rows,
+        link_fields=link_fields,
+        max_blocks=max_blocks,
     )
 
 
@@ -316,15 +382,40 @@ def prove_skip_sha_stark(witness, config: StarkConfig | None = None) -> SkipShaP
 
 class _Cursor:
     """Walks the claimed (message words, digest) stream, enforcing the block
-    chain layout and canonical FIPS padding on every message it yields."""
+    chain layout and canonical FIPS padding on every message it yields.
 
-    def __init__(self, aux, chain):
+    pad_ranges: [(start, end)] block-index ranges holding shard padding —
+    every pad block must be a standalone canonical empty-message block, and
+    the walk steps over them transparently."""
+
+    def __init__(self, aux, chain, pad_ranges=()):
         self.aux = aux
         self.chain = chain
         self.b = 0
+        self.pads = sorted(pad_ranges)
+        self.pi = 0
+        self._empty = _pad_words(b"")[0]
+
+    def _skip_pads(self) -> bool:
+        while self.pi < len(self.pads) and self.b >= self.pads[self.pi][0]:
+            s, e = self.pads[self.pi]
+            if self.b != s:
+                return False
+            for b in range(s, e):
+                if self.chain[b] or [int(w) for w in self.aux[b][0]] != self._empty:
+                    return False
+            self.b = e
+            self.pi += 1
+        return True
+
+    def finish(self) -> bool:
+        """End of walk: any remaining blocks must be (skipped) padding."""
+        return self._skip_pads() and self.b == len(self.chain)
 
     def take(self, length: int):
         """Consume one length-byte message; return (bytes, digest) or None."""
+        if not self._skip_pads():
+            return None
         nb = _n_blocks(length)
         first = self.b
         for i in range(nb):
@@ -419,14 +510,35 @@ def verify_skip_sha_stark(
         return False
 
     lengths = skip_message_lengths(trusted_vals, target_vals, proof.link_fields)
-    chain = _chain_from_lengths(lengths)
-    if proof.n_rows != 64 * len(chain) or len(proof.aux) != len(chain):
+    mb = int(getattr(proof, "max_blocks", DEFAULT_MAX_SHARD_BLOCKS))
+    if mb < 2 or mb & (mb - 1):
         return False
-    air = sha_air.Sha256Air(chain)
-    if not stark.verify(air, proof.stark, [], config, proof.n_rows, aux=proof.aux):
+    if any(_n_blocks(L) > mb for L in lengths):
+        return False
+    shards = plan_shards(lengths, mb)
+    if len(proof.starks) != len(shards):
+        return False
+    # per-shard STARK verification over the verifier-derived layout
+    chain_all: list[bool] = []
+    pad_ranges: list[tuple[int, int]] = []
+    base = 0
+    for (lo, hi, padded), sp in zip(shards, proof.starks):
+        chain_s = _shard_chain(lengths, lo, hi, padded)
+        aux_s = proof.aux[base : base + padded]
+        if len(aux_s) != padded:
+            return False
+        air = sha_air.Sha256Air(chain_s)
+        if not stark.verify(air, sp, [], config, 64 * padded, aux=aux_s):
+            return False
+        real = sum(_n_blocks(L) for L in lengths[lo:hi])
+        if real < padded:
+            pad_ranges.append((base + real, base + padded))
+        chain_all += list(chain_s)
+        base += padded
+    if proof.n_rows != 64 * base or len(proof.aux) != base:
         return False
 
-    cur = _Cursor(proof.aux, chain)
+    cur = _Cursor(proof.aux, tuple(chain_all), pad_ranges)
 
     # (b) validator-set trees + inclusion under the public roots
     vh_dirs = path_dirs(enc.HEADER_NUM_FIELDS, enc.VALIDATORS_HASH_INDEX)
@@ -482,10 +594,5 @@ def verify_skip_sha_stark(
     if cur.tree(leaves) != data_commitment:
         return False
 
-    # trailing dummies must be standalone empty-message blocks
-    empty = _pad_words(b"")[0]
-    while cur.b < len(chain):
-        if chain[cur.b] or [int(w) for w in proof.aux[cur.b][0]] != empty:
-            return False
-        cur.b += 1
-    return True
+    # every remaining block must be (verified) shard padding
+    return cur.finish()

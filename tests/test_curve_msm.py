@@ -161,3 +161,18 @@ class TestBatchVerify:
     def test_valid_batch_production_config(self):
         ok, info = dev_ed.batch_verify(self._items(8, seed=4))
         assert ok, info
+
+
+class TestFoldPathAgreement:
+    def test_compact_and_scan_folds_agree(self):
+        """fold_group_sums branches on backend (compact tree on TPU, scan
+        fold elsewhere); the production K=64 config runs whichever branch the
+        host backend picked, so pin the two implementations to bit-identical
+        results in the smoke tier (ADVICE r4)."""
+        gold_pts, pts = rand_points(16, seed=11)
+        group = 4
+        a = msm_ops._fold_groups_compact(pts, group)
+        folded = msm_ops._fold_groups(pts, group)
+        b = tuple(c.reshape(16, -1, group)[:, :, 0] for c in folded)
+        for ca, cb in zip(a, b):
+            assert np.array_equal(np.asarray(ca), np.asarray(cb))

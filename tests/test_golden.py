@@ -69,9 +69,13 @@ class TestNTT:
 class TestSha2:
     @pytest.mark.parametrize("n", [0, 1, 55, 56, 64, 100, 1000])
     def test_sha256_matches_hashlib(self, n):
+        # sha256_pure is the from-scratch spec model (the kernel oracle);
+        # sha256() is the hashlib-backed fast path the witness builder uses.
+        # Both must agree with each other and the library.
         msg = bytes(range(256)) * 4
         msg = msg[:n]
-        assert gsha256.sha256(msg) == hashlib.sha256(msg).digest()
+        assert gsha256.sha256_pure(msg) == hashlib.sha256(msg).digest()
+        assert gsha256.sha256(msg) == gsha256.sha256_pure(msg)
 
     @pytest.mark.parametrize("n", [0, 1, 111, 112, 128, 300])
     def test_sha512_matches_hashlib(self, n):
