@@ -7,10 +7,14 @@ so every round is pure VPU SIMD across N.
 
 MDS strategy (the circulant matrix's entries are all powers of two):
 ``out[r] = Σ_i state[(i+r) mod 12] << K[i]  (+ 8*state[0] for r=0)``.
-Rather than 144 modular multiplies, we accumulate the 13 shifted 80-bit terms
-in six 16-bit columns held in u32 lanes (max column sum < 2^21, no overflow),
-carry-propagate once, and do a single 128->64 reduction per output row. The
-whole MDS is 12 rolled-row shifted adds over the (12, N) block.
+Rather than 144 modular multiplies, we accumulate shifted 16-bit limbs in
+u32 columns of 16-bit significance, carry-propagate once, and do a single
+128->64 reduction per output row. Terms are GROUPED BY SHIFT AMOUNT (8
+distinct shifts across the 13 terms): each group's rotated limbs are summed
+BEFORE the shift, and the shifted value lands in its column un-split —
+column totals stay below 2^16 * (sum MDS_CIRC + 8) < 2^29, so nothing
+overflows u32 and the carry pass distributes the excess. This roughly
+halves the MDS's non-mul VPU op stream vs shifting/splitting per term.
 
 Rounds run under ``lax.scan`` so compile time is O(1) in round count; the
 Pallas kernel version keeps the state in VMEM across all 30 rounds (one HBM
@@ -60,43 +64,47 @@ def _sbox(x: Gl) -> Gl:
 
 
 def _mds(state: Gl) -> Gl:
-    """Circulant-plus-diag MDS over a (12, N) block via column accumulation."""
+    """Circulant-plus-diag MDS over a (12, N) block via shift-grouped column
+    accumulation (bit-identical to the per-term scheme: both accumulate the
+    same exact integer Σ cols[c]·2^16c with no u32 overflow)."""
     lo, hi = state
-    n_cols = 6  # value < 2^85, held as 16-bit columns in u32
-    cols = [jnp.zeros_like(lo) for _ in range(n_cols + 1)]
-
-    def accumulate(row_lo, row_hi, k):
-        q, r = divmod(k, 16)
-        limbs = (row_lo & MASK16, row_lo >> 16, row_hi & MASK16, row_hi >> 16)
-        for li, limb in enumerate(limbs):
-            sh = limb << r
-            cols[li + q] = cols[li + q] + (sh & MASK16)
-            cols[li + q + 1] = cols[li + q + 1] + (sh >> 16)
+    n_cols = 6  # value < 2^85, significance-16 columns in u32
+    cols: list = [None] * (n_cols + 1)
 
     def roll_up(x, i):
         # static row rotation (x[(r+i) mod 12] at row r) via slice+concat —
         # works identically under XLA and Mosaic
         return x if i == 0 else jnp.concatenate([x[i:], x[:i]], axis=0)
 
+    # out[r] needs state[(i+r) mod 12] * 2^K[i]: rotating rows up by i aligns
+    # source row (i+r) with output row r for every r at once. Terms sharing a
+    # shift amount sum their rotated limbs first (<=4 members: sums < 2^18).
+    groups: dict[int, list] = {}
     for i in range(WIDTH):
-        # out[r] needs state[(i+r) mod 12] * 2^K[i]: rotating rows up by i
-        # aligns source row (i+r) with output row r for every r at once.
-        accumulate(roll_up(lo, i), roll_up(hi, i), MDS_LOG[i])
-
+        groups.setdefault(MDS_LOG[i], []).append((roll_up(lo, i), roll_up(hi, i)))
     # diagonal: + state[0] * 8, only for output row 0
     row_mask = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, 0) == 0
-    accumulate(
-        jnp.where(row_mask, lo, jnp.uint32(0)),
-        jnp.where(row_mask, hi, jnp.uint32(0)),
-        DIAG_LOG,
+    groups.setdefault(DIAG_LOG, []).append(
+        (jnp.where(row_mask, lo, jnp.uint32(0)), jnp.where(row_mask, hi, jnp.uint32(0)))
     )
 
-    # carry-propagate the 16-bit columns into four 32-bit words (value < 2^85
-    # means words 4+ vanish after reduction below uses n3 = 0).
+    for k, members in sorted(groups.items()):
+        q, r = divmod(k, 16)
+        sums: list = [None] * 4
+        for mlo, mhi in members:
+            for li, limb in enumerate((mlo & MASK16, mlo >> 16, mhi & MASK16, mhi >> 16)):
+                sums[li] = limb if sums[li] is None else sums[li] + limb
+        for li in range(4):
+            term = (sums[li] << r) if r else sums[li]
+            c = li + q
+            cols[c] = term if cols[c] is None else cols[c] + term
+
+    # carry-propagate the significance-16 columns into 16-bit words (value
+    # < 2^85 means words 4+ vanish after reduction below uses n3 = 0).
     words = []
     carry = jnp.zeros_like(lo)
     for c in range(n_cols + 1):
-        tot = cols[c] + carry
+        tot = carry if cols[c] is None else cols[c] + carry
         words.append(tot & MASK16)
         carry = tot >> 16
     n0 = words[0] | (words[1] << 16)
