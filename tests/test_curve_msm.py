@@ -118,6 +118,22 @@ class TestMsm:
             want = gold.point_add(want, gold.point_mul(s, p))
         assert curve.to_affine_ints(result)[0] == affine(want)
 
+    @pytest.mark.parametrize("n", [1, 5, 8])
+    def test_bitwise_matches_golden(self, n):
+        """The round-5 bitwise-window MSM (no gathers/scatters) computes the
+        same group element as the golden sum — including identity padding up
+        to the next power of two and zero scalars."""
+        rng = random.Random(50 + n)
+        gp, dp = rand_points(n, seed=50 + n)
+        scalars = [rng.randrange(0, L) for _ in range(n)]
+        if n > 1:
+            scalars[1] = 0
+        got = msm_ops.msm_bitwise_host_combined(dp, scalars)
+        want = gold.IDENTITY
+        for s, p in zip(scalars, gp):
+            want = gold.point_add(want, gold.point_mul(s, p))
+        assert gold.point_equal(got, want)
+
 
 class TestBatchVerify:
     def _items(self, n, seed=0):
