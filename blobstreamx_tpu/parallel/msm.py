@@ -113,6 +113,52 @@ def msm_sharded(points: curve.Point, digits, mesh, streams: int = 16) -> curve.P
     return _msm_fn(mesh, streams, c)(*points, digits)
 
 
+@lru_cache(maxsize=None)
+def _msm_bitwise_fn(mesh):
+    d = mesh.devices.size
+
+    def local(p0, p1, p2, p3, bits):
+        wins = msm_ops.msm_bitwise_windows_device((p0, p1, p2, p3), bits)
+        return _allreduce_points(wins, d)  # (16, W) replicated
+
+    pt_spec = P(None, AXIS)
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(pt_spec, pt_spec, pt_spec, pt_spec, P(None, AXIS)),
+            out_specs=(P(None, None),) * 4,
+            check_vma=False,
+        )
+    )
+
+
+def msm_bitwise_sharded(points: curve.Point, scalars: list[int], mesh):
+    """Multi-chip bitwise-window MSM (the round-5 no-gather/no-scatter
+    formulation, ops.msm.msm_bitwise_windows_device): points partitioned per
+    chip, each chip masked-tree-sums its slice's 256 window sums locally,
+    and the (16, 256) window points all-reduce across chips by the Edwards
+    ppermute reduction — a fixed 256-lane payload per round regardless of N.
+    Returns host extended coords (x, y, z, t) as python ints."""
+    d = mesh.devices.size
+    bits = msm_ops.scalars_to_digits(scalars, c=1)
+    n = bits.shape[1]
+    # per-chip slices must be equal power-of-two lanes (>= 2) for the local
+    # compacting tree: pad N up to d * 2^k
+    per = max(2, -(-n // d))
+    per = 1 << (per - 1).bit_length()
+    n2 = d * per
+    if n2 != n:
+        idn = curve.identity(n2 - n)
+        points = tuple(jnp.concatenate([a, b], axis=1) for a, b in zip(points, idn))
+        bits = np.concatenate([bits, np.zeros((bits.shape[0], n2 - n), np.uint32)], axis=1)
+    sharding = NamedSharding(mesh, P(None, AXIS))
+    points = jax.device_put(points, sharding)
+    bits_d = jax.device_put(jnp.asarray(bits), sharding)
+    wins = _msm_bitwise_fn(mesh)(*points, bits_d)
+    return msm_ops.combine_windows_host(jnp.stack(wins, axis=0), 1)
+
+
 def batch_verify_sharded(
     items, mesh, zs=None, streams: int = 16, c: int = msm_ops.FAST_WINDOW_BITS
 ):

@@ -357,6 +357,15 @@ def _combine_alpha_device(
     for value, kind in constraints:
         w = alg.width(value)
         if w == 1:
+            if value[0].ndim == 2:
+                # squeeze an (n, 1) single-column matrix to (n,): mixing a
+                # 2-D width-1 term with a 1-D one in the SAME kind's
+                # accumulator broadcasts (n,1)+(n,) -> (n,n) — a silent
+                # quadratic intermediate that cost the streamed Ed AIR a
+                # 32 GB allocation at 2^16 rows (round-5 OOM; values were
+                # still correct because later column reductions collapsed
+                # the redundant axis)
+                value = (value[0][:, 0], value[1][:, 0])
             a_o = _ext_gather(pow_vec, np.array([offset]))
             term = (gl_mul(value, a_o[0]), gl_mul(value, a_o[1]))
         else:

@@ -57,6 +57,22 @@ class TestShardedMsm:
         assert curve.to_affine_ints(result)[0] == affine(want)
 
 
+class TestShardedBitwiseMsm:
+    @pytest.mark.parametrize("n", [3, 17])
+    def test_matches_golden(self, mesh, n):
+        """The round-5 no-gather/no-scatter multichip MSM: per-chip masked
+        tree sums + Edwards ppermute all-reduce of the 256 window points."""
+        rng = random.Random(200 + n)
+        gp = [gold.point_mul(rng.randrange(1, L), gold.BASE) for _ in range(n)]
+        dp = tuple(f.from_int([p[i] for p in gp]) for i in range(4))
+        scalars = [rng.randrange(0, L) for _ in range(n)]
+        got = pmsm.msm_bitwise_sharded(dp, scalars, mesh)
+        want = gold.IDENTITY
+        for s, p in zip(scalars, gp):
+            want = gold.point_add(want, gold.point_mul(s, p))
+        assert gold.point_equal(got, want)
+
+
 class TestShardedBatchVerify:
     def _items(self, n, seed=0):
         items = []
