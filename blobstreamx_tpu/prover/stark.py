@@ -927,6 +927,14 @@ def _combine_alpha_host(constraints, alpha, alg: HostExtAlgebra):
     for value, kind in constraints:
         w = alg.width(value)
         if w == 1:
+            if isinstance(value, list):
+                # a single-column matrix constraint (e.g. the Ed AIR's
+                # logUp table wells when the range table fits ONE column,
+                # nt=1 at 2^16 rows) arrives as a 1-element list; unwrap it
+                # — ext_mul(list, pow) would "multiply" the LIST by a
+                # ~2^64 field element (python list repetition, MemoryError).
+                # Device-side twin: _combine_alpha_device's (n,1) squeeze.
+                value = value[0]
             term = gold.ext_mul(value, pows[offset])
         else:
             term = (0, 0)
